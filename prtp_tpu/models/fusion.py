@@ -1,0 +1,111 @@
+"""PathModel — the multimodal fusion head.
+
+The reference's ``PathModel`` has a constructor/usage mismatch
+(``src/model.py:256-257`` declares 6 modules; ``src/train.py:81`` passes
+3) and a 64-vs-32 global-width inconsistency (``src/train.py:76`` vs
+``src/model.py:267``). This rebuild implements the *effective* model —
+``(gnn, fcn, mlp_fuse, mlp_alpha)`` — with one consistent global
+embedding width of 64 (matching the declared fuse width), per
+MODEL_NOTES.md.
+
+Forward (reference src/model.py:269-292, batched over all endpoints of
+a batch at once instead of per-level calls):
+  h_gnn    = gnn(graph)[endpoints]
+  h_cnn    = fcn(mask[p] * flatten(cnn(layout)))
+  h_global = mlp_alpha(level_of_path)
+  out      = mlp_fuse(concat(h_gnn, h_cnn, h_global))
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import flax.linen as nn
+
+from ..graph import DesignData
+from ..ops.masked_fcn import masked_feature_rows
+from .gnn import TimeGNN
+from .layoutnet import LayoutNet
+from .unet import UNet
+from .mlp import MLP
+
+
+class PathModel(nn.Module):
+    use_gnn: bool = True
+    use_cnn: bool = True
+    unet: bool = False
+    pooling: str = "max"
+    out_dim: int = 128
+    hidden_dim: int = 256
+    cnn_outdim: int = 128
+    map_size: int = 128
+    global_dim: int = 64
+    nlabels: int = 1
+    flag_attn: bool = False
+    num_heads: int = 1
+
+    def setup(self):
+        assert self.use_gnn or self.use_cnn, \
+            "GNN and CNN model can not be both None!"
+        if self.use_gnn:
+            self.gnn = TimeGNN(
+                out_dim=self.out_dim,
+                hidden_dim=self.hidden_dim,
+                flag_attn=self.flag_attn,
+                num_heads=self.num_heads,
+            )
+        if self.use_cnn:
+            self.cnn = (UNet(self.pooling) if self.unet
+                        else LayoutNet(self.pooling))
+            self.fcn = nn.Dense(self.cnn_outdim)  # Linear(map^2 -> cnn_outdim)
+        self.mlp_alpha = MLP((self.global_dim * 2, self.global_dim))
+        fuse_in = ((self.out_dim if self.use_gnn else 0)
+                   + (self.cnn_outdim if self.use_cnn else 0)
+                   + self.global_dim)
+        # mlp = MLP(mlp_dim, mlp_dim*2, nlabels), src/train.py:77
+        self.mlp_fuse = MLP((fuse_in * 2, self.nlabels))
+
+    def __call__(self, design: DesignData, path_ids, train: bool = False):
+        """Predict for a batch of path ids.
+
+        Args:
+          design: device-resident DesignData.
+          path_ids: (B,) int32 path indices (padded entries allowed —
+            mask the loss on the caller side).
+          train: BatchNorm mode for the U-Net branch.
+
+        Returns: (B,) regression output (nlabels=1) or (B, nlabels) logits.
+        """
+        endpoints = design.path_endpoint[path_ids]
+        levels = design.path_level[path_ids]
+        parts = []
+        if self.use_gnn:
+            h = self.gnn(design.graph)
+            parts.append(h[endpoints])
+        if self.use_cnn:
+            feat_map = self.cnn(design.cnn_input, train=train).reshape(-1)
+            path_map = masked_feature_rows(
+                design.path_masks, path_ids, feat_map)
+            parts.append(self.fcn(path_map))
+        parts.append(self.mlp_alpha(levels[:, None]))
+        hcat = jnp.concatenate(parts, axis=1)
+        out = self.mlp_fuse(hcat)
+        if self.nlabels == 1:
+            out = out.squeeze(-1)
+        return out
+
+
+def model_from_options(options):
+    """Build a PathModel from the parity CLI options (src/train.py:34-81)."""
+    return PathModel(
+        use_gnn=not options.no_gnn,
+        use_cnn=not options.no_cnn,
+        unet=options.unet,
+        pooling=options.pooling,
+        out_dim=options.out_dim,
+        hidden_dim=options.hidden_dim,
+        cnn_outdim=options.cnn_outdim,
+        map_size=options.map_size,
+        nlabels=options.nlabels,
+        flag_attn=options.attn,
+        num_heads=options.num_heads,
+    )

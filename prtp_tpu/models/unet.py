@@ -1,0 +1,97 @@
+"""U-Net layout branch (reference ``src/Unet.py``), NHWC / Flax.
+
+Blocks mirror Unet.py:8-82 (DoubleConv / Down / Up / OutConv); the
+network mirrors Unet.py:85-119: 3-channel input, 16/32/64/128 encoder,
+3 decoder ups with skip connections, and an OutConv with an extra pool,
+so the output map is input/2 per side (256^2 input -> 128^2 map).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+
+def _pool(x, pooling: str):
+    if pooling == "max":
+        return nn.max_pool(x, (2, 2), strides=(2, 2))
+    if pooling == "avg":
+        return nn.avg_pool(x, (2, 2), strides=(2, 2))
+    raise ValueError(f"wrong pooling type for unet: {pooling}")
+
+
+class DoubleConv(nn.Module):
+    """(Conv3x3 no-bias => BN => ReLU) * 2"""
+
+    out_channels: int
+    mid_channels: int | None = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        mid = self.mid_channels or self.out_channels
+        x = nn.Conv(mid, (3, 3), padding="SAME", use_bias=False)(x)
+        x = nn.BatchNorm(use_running_average=not train)(x)
+        x = jax.nn.relu(x)
+        x = nn.Conv(self.out_channels, (3, 3), padding="SAME",
+                    use_bias=False)(x)
+        x = nn.BatchNorm(use_running_average=not train)(x)
+        x = jax.nn.relu(x)
+        return x
+
+
+class Down(nn.Module):
+    """Downscale: pool then DoubleConv."""
+
+    out_channels: int
+    pooling: str = "max"
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        return DoubleConv(self.out_channels)(_pool(x, self.pooling),
+                                             train=train)
+
+
+class Up(nn.Module):
+    """Upscale (transposed conv, reference bilinear=False default) then
+    pad-to-match, skip-concat, DoubleConv."""
+
+    out_channels: int
+    up_channels: int  # in_channels // 2 of the reference ConvTranspose
+
+    @nn.compact
+    def __call__(self, x1, x2, train: bool = False):
+        x1 = nn.ConvTranspose(self.up_channels, (2, 2), strides=(2, 2))(x1)
+        dh = x2.shape[1] - x1.shape[1]
+        dw = x2.shape[2] - x1.shape[2]
+        if dh or dw:
+            x1 = jnp.pad(x1, ((0, 0), (dh // 2, dh - dh // 2),
+                              (dw // 2, dw - dw // 2), (0, 0)))
+        x = jnp.concatenate([x2, x1], axis=-1)
+        return DoubleConv(self.out_channels)(x, train=train)
+
+
+class OutConv(nn.Module):
+    out_channels: int
+    pooling: str = "max"
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(self.out_channels, (1, 1))(x)
+        x = _pool(x, self.pooling)
+        return jax.nn.relu(x)
+
+
+class UNet(nn.Module):
+    pooling: str = "max"
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x1 = DoubleConv(16)(x, train=train)
+        x2 = Down(32, self.pooling)(x1, train=train)
+        x3 = Down(64, self.pooling)(x2, train=train)
+        x4 = Down(128, self.pooling)(x3, train=train)
+        x = Up(64, 64)(x4, x3, train=train)
+        x = Up(32, 32)(x, x2, train=train)
+        x = Up(16, 16)(x, x1, train=train)
+        return OutConv(1, self.pooling)(x, train=train)

@@ -1,0 +1,113 @@
+"""CLI flag surface.
+
+Preserves the reference's public CLI contract — flag names, types, and
+defaults of ``src/options.py:4-56`` — so existing ASAP7 experiment
+scripts run unchanged against the TPU framework.
+
+TPU-native additions are kept in a clearly separated group (mesh /
+sharding / precision flags); everything else is parity.
+"""
+
+import argparse
+
+
+def get_options(args=None):
+    parser = argparse.ArgumentParser(
+        description="TPU-native pre-routing timing prediction"
+    )
+    # --- parity flags (reference src/options.py:6-51) ---
+    parser.add_argument("--learning_rate", type=float, default=1e-3,
+                        help="the learning rate for training. Type: float.")
+    parser.add_argument("--batch_size", type=int, default=1350,
+                        help="the number of samples in each training batch. Type: int")
+    parser.add_argument("--num_epoch", type=int, default=1000,
+                        help="number of epoches that the training procedure runs. Type: int")
+    parser.add_argument("--in_dim", type=int, default=512,
+                        help="the dimension of the input feature. Type: int")
+    parser.add_argument("--out_dim", type=int, default=128,
+                        help="the dimension of the output embedding. Type: int")
+    parser.add_argument("--cell_feat_dim", type=int, default=42,
+                        help="the dimension of the cell feature. Type: int")
+    parser.add_argument("--net_feat_dim", type=int, default=3,
+                        help="the dimension of the net feature. Type: int")
+    parser.add_argument("--hidden_dim", type=int, default=256,
+                        help="the dimension of the intermediate GNN layers. Type: int")
+    parser.add_argument("--cnn_input_dim", type=int, default=512)
+    parser.add_argument("--cnn_outdim", type=int, default=128)
+    parser.add_argument("--map_size", type=int, default=128)
+    parser.add_argument("--gcn_dropout", type=float, default=0,
+                        help="dropout rate for GNN layers. Type: float")
+    parser.add_argument("--mlp_dropout", type=float, default=0,
+                        help="dropout rate for mlp. Type: float")
+    parser.add_argument("--weight_decay", type=float, default=0,
+                        help="weight decay. Type: float")
+    parser.add_argument("--model_saving_dir", type=str,
+                        default="../models/asap7-designs",
+                        help="the directory to save the trained model. Type: str")
+    parser.add_argument("--preprocess", action="store_true",
+                        help="run the preprocess procedure (dataset generation + "
+                             "model init) instead of normal training")
+    parser.add_argument("--n_fcn", type=int, default=3,
+                        help="the number of fully connected layers of the mlp. Type: int")
+    parser.add_argument("--alpha", type=float, default=1.0,
+                        help="the weight of the cost-sensitive learning. Type: float")
+    parser.add_argument("--change_lr", action="store_true",
+                        help="override the checkpointed learning rate on resume")
+    parser.add_argument("--change_alpha", action="store_true",
+                        help="override the checkpointed alpha on resume")
+    parser.add_argument("--gpu", type=int, default=0,
+                        help="index of the accelerator chip. Type: int")
+    parser.add_argument("--nlabels", type=int, default=1,
+                        help="number of prediction classes. Type: int")
+    parser.add_argument("--os_rate", type=int, default=1,
+                        help="the oversampling rate. Type: int")
+    parser.add_argument("--beta", type=float, default=0.5,
+                        help="threshold for binary classification to trade off "
+                             "recall and precision. Type: float")
+    parser.add_argument("--data_save_path", type=str,
+                        default="../datasets/asap7-designs",
+                        help="the directory that contains the dataset. Type: str")
+    parser.add_argument("--rawdata_path", type=str, default="../rawdata/example")
+    parser.add_argument("--predict_path", type=str,
+                        default="../prediction/example",
+                        help="the directory used to save the prediction result. Type: str")
+    parser.add_argument("--droplast", action="store_true")
+    parser.add_argument("--feat_reduce", type=int, nargs="+", default=[6, 1])
+    parser.add_argument("--no_cnn", action="store_true")
+    parser.add_argument("--no_gnn", action="store_true")
+    parser.add_argument("--masking", type=str, default="critical")
+    parser.add_argument("--design", type=str)
+    parser.add_argument("--unet", action="store_true",
+                        help="use the U-Net architecture for the layout branch")
+    parser.add_argument("--pooling", type=str, default="max",
+                        help="the pooling type for layoutnet")
+    parser.add_argument("--norm", action="store_true",
+                        help="min-max normalize the input features")
+    parser.add_argument("--task", type=str, default="reg",
+                        help="classification or regression task, valid: ['cls','reg']")
+    parser.add_argument("--attn", action="store_true",
+                        help="apply the attention mechanism in the GNN")
+    parser.add_argument("--num_heads", type=int, default=1,
+                        help="the number of heads for the attention mechanism")
+
+    # --- TPU-native additions (not in the reference) ---
+    tpu = parser.add_argument_group("tpu", "TPU-native options (additive)")
+    tpu.add_argument("--mesh_shape", type=int, nargs="+", default=None,
+                     help="device mesh shape for data-parallel training, "
+                          "e.g. --mesh_shape 8. Default: all visible devices.")
+    tpu.add_argument("--dp", action="store_true",
+                     help="enable shard_map data parallelism over the path batch")
+    tpu.add_argument("--compute_dtype", type=str, default="float32",
+                     choices=["float32", "bfloat16"],
+                     help="dtype for GNN/CNN activations")
+    tpu.add_argument("--pallas", action="store_true",
+                     help="use Pallas fused gather/segment kernels where available")
+    tpu.add_argument("--seed", type=int, default=9294,
+                     help="RNG seed (reference hardcodes 9294 at src/train.py:596)")
+    tpu.add_argument("--max_steps", type=int, default=None,
+                     help="optional hard cap on optimizer steps (smoke tests)")
+    tpu.add_argument("--val_interval", type=int, default=50,
+                     help="validate every N batches (reference: 50, src/train.py:566)")
+
+    options = parser.parse_args(args)
+    return options
