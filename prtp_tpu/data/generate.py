@@ -1,0 +1,123 @@
+"""Offline dataset-generation CLI.
+
+Parity with the reference ``src/generate_data.py``: iterates the design
+directories under ``--rawdata_path``, maps design -> top module (the
+reference's hardcoded ``top_map``, :7-23, extended by a per-design
+``top.txt`` fallback), skips non-design entries and already-parsed
+designs, loads the CNN input maps from ``features/datas.pkl`` and writes
+one ``{design}.npz`` per design to ``--data_save_path``.
+
+Usage:
+    python -m prtp_tpu.data.generate --rawdata_path ... --data_save_path ...
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pickle
+
+import numpy as np
+
+from ..options import get_options
+from .dataset import save_design_npz
+from .features import extract_features
+from .netlist import NetlistBuilder
+
+# reference design -> top module map (src/generate_data.py:7-23)
+TOP_MAP = {
+    "darkriscv": "darkriscv",
+    "sha3": "ChipTop",
+    "smallboom": "BoomCore",
+    "rocket": "ChipTop",
+    "xgate": "xgate_top",
+    "ae18": "ae18_core",
+    "or1200": "or1200_top",
+    "hwacha": "Hwacha",
+    "steelcore": "steel_core_top",
+    "tinyrocket": "ChipTop",
+    "chacha": "chacha",
+    "arm9": "arm9_compatiable_code",
+    "r8051": "r8051",
+    "jpeg": "jpeg_top",
+}
+
+# non-design entries skipped by the reference (src/generate_data.py:36)
+SKIP_ENTRIES = {"util.py", "late_lib.json", "early_lib.json", "README.txt",
+                "def", "run.sh", "ae18", "steel-core",
+                "cell_info_map.json", "cell_info_map2.json", "ctype2id.json"}
+
+
+def resolve_top_module(rawdata_path: str, design: str):
+    if design in TOP_MAP:
+        return TOP_MAP[design]
+    top_txt = os.path.join(rawdata_path, design, "top.txt")
+    if os.path.exists(top_txt):
+        with open(top_txt) as f:
+            return f.read().strip()
+    return design
+
+
+def load_libs(rawdata_path: str):
+    with open(os.path.join(rawdata_path, "cell_info_map2.json")) as f:
+        cell_info_map2 = json.load(f)
+    with open(os.path.join(rawdata_path, "cell_info_map.json")) as f:
+        cell_info_map = json.load(f)
+    with open(os.path.join(rawdata_path, "early_lib.json")) as f:
+        early_lib = json.load(f)
+    with open(os.path.join(rawdata_path, "ctype2id.json")) as f:
+        ctype2id = json.load(f)
+    return cell_info_map, cell_info_map2, early_lib, ctype2id
+
+
+def generate_one(rawdata_path: str, design: str, data_save_path: str,
+                 masking: str = "critical") -> str:
+    """Parse one raw design and write {design}.npz; returns the path."""
+    cell_info_map, cell_info_map2, early_lib, ctype2id = load_libs(
+        rawdata_path)
+    design_dir = os.path.join(rawdata_path, design)
+    top_module = resolve_top_module(rawdata_path, design)
+    builder = NetlistBuilder(top_module, masking,
+                             cell_info_map=cell_info_map2,
+                             cell_lib=early_lib)
+    result = builder.parse(design_dir)
+    parsed = extract_features(result, cell_info_map, ctype2id)
+    with open(os.path.join(design_dir, "features/datas.pkl"), "rb") as f:
+        cnn_input = pickle.load(f)
+    cnn_input = np.asarray(cnn_input, dtype=np.float32)
+    out = os.path.join(data_save_path, f"{design}.npz")
+    save_design_npz(out, parsed, cnn_input)
+    return out
+
+
+def main(argv=None):
+    options = get_options(argv)
+    rawdata_path = options.rawdata_path
+    data_save_path = options.data_save_path
+    os.makedirs(data_save_path, exist_ok=True)
+    done = []
+    for design in sorted(os.listdir(rawdata_path)):
+        if design in SKIP_ENTRIES or design.endswith(".json"):
+            continue
+        if not os.path.isdir(os.path.join(rawdata_path, design)):
+            continue
+        out = os.path.join(data_save_path, f"{design}.npz")
+        if os.path.exists(out):
+            print(f"Design {design} already parsed! Skip")
+            continue
+        print(f"-------- Parsing design: {design}...")
+        generate_one(rawdata_path, design, data_save_path, options.masking)
+        done.append(design)
+    # default design lists if absent: all designs train + test
+    all_designs = [d[:-4] for d in sorted(os.listdir(data_save_path))
+                   if d.endswith(".npz")]
+    for usage in ("train", "test"):
+        lst = os.path.join(data_save_path, f"{usage}data_list.txt")
+        if not os.path.exists(lst):
+            with open(lst, "w") as f:
+                f.write("\n".join(all_designs) + "\n")
+    print(f"parsed {len(done)} designs -> {data_save_path}")
+
+
+if __name__ == "__main__":
+    main()

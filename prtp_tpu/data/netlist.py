@@ -1,0 +1,579 @@
+"""Netlist -> pin-level DAG builder.
+
+Capability parity with the reference ``Parser``
+(``src/verilog_parser_asap7.py:211-1517``), re-implemented on the
+hand-rolled Verilog AST (:mod:`prtp_tpu.data.verilog`) with plain
+dict/array adjacency instead of networkx, emitting numpy arrays.
+
+Pipeline (``Parser.parse``, ``:1372-1431``):
+  1. post-route report  -> labels (VIOLATED => critical), arrival/required
+  2. pin locations      -> 128x128 bin per pin (``pin2bin``, ``:162-176``)
+  3. post-place report  -> path pin sequences + pre-route trans/delay
+  4. netlist            -> hierarchy walk -> pin nodes + cell/net edges,
+     assign-alias resolution, PI synthesis, net bboxes, topo levels with
+     reverse de-dup, endpoint backtraces, path-mask rasterization.
+
+Key reference semantics preserved:
+  - hierarchical net-name tracing via io2arg maps with trace depth
+    (``update_netname``, ``:121-160``; ``parse_io2arg``, ``:559-617``)
+  - registers contribute only clk->output cell edges (``:948-950``);
+    SRAM macros contribute CLK/CE->output edges gated on the lib's
+    timing_tabs (``:819-827``); SRAM default sink cap 13.06 (``:806``)
+  - PI pseudo-nodes for driverless nets (``:1160-1171``)
+  - abstract cell type via the ``(x|xp|x\\d+p)\\d+`` drive-strength strip
+    and CK prefix removal (``:864-867``)
+  - per-net bounding boxes and the per-arc bbox mask rasterization to a
+    sparse (num_paths, 128*128) COO (``:1301-1369``)
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Set, Tuple
+
+import numpy as np
+
+from .timing_report import (
+    ReportDB,
+    parse_postopt_report,
+    parse_preopt_report,
+)
+from .verilog import Module, arg_to_str, expand_arg, parse_verilog
+
+MAP_SIZE_X, MAP_SIZE_Y = 128, 128
+
+
+def pin2bin(pin_x, pin_y, bin_size_x, bin_size_y,
+            map_x=MAP_SIZE_X, map_y=MAP_SIZE_Y):
+    """Micron coords -> clamped integer bin (reference :162-176)."""
+    bin_x = min(max(int(pin_x / bin_size_x), 0), map_x - 1)
+    bin_y = min(max(int(pin_y / bin_size_y), 0), map_y - 1)
+    return bin_x, bin_y
+
+
+def parse_pin_locations(path: str) -> Dict[str, Tuple[float, float, int, int]]:
+    """``positions/pin_bin.txt`` -> {pin: (x, y, bin_x, bin_y)}.
+
+    The chip canvas is 512x512 microns binned to 128x128 (bin size 4,
+    reference :252).
+    """
+    res = {}
+    with open(path) as f:
+        for line in f:
+            if line.startswith("==="):
+                continue
+            pin_name, coord_x, coord_y = line.split(" ")
+            pin_name = (pin_name.replace("\\[", "[").replace("\\]", "]")
+                        .replace("\\", ""))
+            coord_x, coord_y = float(coord_x), float(coord_y.strip())
+            bx, by = pin2bin(coord_x, coord_y,
+                             int(512 / MAP_SIZE_X), int(512 / MAP_SIZE_Y))
+            res[pin_name] = (coord_x, coord_y, bx, by)
+    return res
+
+
+@dataclass
+class NetInfo:
+    net_name: str
+    drive_cell: str = ""
+    drive_pin: str = ""
+    sink_pins: List[str] = field(default_factory=list)
+    total_output_cap: float = 0.0
+
+
+_DRIVE_RE = re.compile(r"(x|xp|x\d+p)\d+")
+
+_REGISTER_TYPES = {"ASYNC_DFFH", "DFFHQN", "DFFHQ", "DFFLQN",
+                   "DFFLQ", "DHL", "DLL", "ICG", "SDFH", "SDFL"}
+
+
+def abstract_cell_type(cell_name: str) -> str:
+    """Strip drive strength + CK prefix (reference :864-867)."""
+    m = _DRIVE_RE.search(cell_name)
+    ctype = cell_name[: m.start()] if m else cell_name
+    if ctype.startswith("CK"):
+        ctype = ctype[2:]
+    return ctype
+
+
+def update_netname(net_name: str, call_path: str, io2arg) -> str:
+    """Trace a module-local net to its global hierarchical name
+    (reference :121-160)."""
+    arg_name = net_name
+    if io2arg is not None and io2arg.get(net_name) is not None:
+        _, arg_name, trace_depth = io2arg[net_name]
+        for _ in range(trace_depth):
+            if "/" in call_path:
+                call_path = call_path[: call_path.rfind("/")]
+            else:
+                call_path = ""
+    return arg_name if call_path == "" else f"{call_path}/{arg_name}"
+
+
+class NetlistBuilder:
+    """Builds the pin DAG for one design.
+
+    Args:
+      top_module: name of the top module.
+      masking: 'critical' (backtraced-path bbox masks) — 'sibling' is
+        not implemented, matching the reference's stub (:1338-1340).
+      cell_info_map: cell library (cell_info_map2.json of the reference)
+        — {cell: {type, load, area, width, height, pin_info}}.
+      cell_lib: early_lib.json — per-cell pin directions + timing_tabs.
+    """
+
+    def __init__(self, top_module: str, masking: str,
+                 cell_info_map: dict, cell_lib: dict):
+        if masking not in ("critical", "sibling"):
+            raise ValueError(
+                f"Wrong masking technique: {masking}, "
+                "It should be in [critical, sibling]!")
+        if masking == "sibling":
+            raise NotImplementedError(
+                "masking='sibling' is stubbed in the reference "
+                "(src/verilog_parser_asap7.py:1338-1340) and not provided")
+        self.top_module = top_module
+        self.masking = masking
+        self.cell_info_map = cell_info_map
+        self.cell_lib = cell_lib
+
+        self.nets: Dict[str, NetInfo] = {}
+        self.module_wires_map: Dict[str, dict] = {}
+        self.module_io2arg_map: Dict[str, Optional[dict]] = {}
+        self.equal_wire_map: Dict[str, str] = {}
+        self.net_bbox_map: Dict[str, List[int]] = {}
+        self.db = ReportDB()
+        self.pin_loc_map: Dict[str, tuple] = {}
+
+        # graph state: insertion-ordered node attr map + edge lists
+        self.node_attrs: Dict[str, dict] = {}
+        self.edges: List[Tuple[str, str, str]] = []  # (src, dst, etype)
+
+    # ------------------------------------------------------------ lib
+
+    def is_output_port(self, cell: str, port: str) -> bool:
+        return self.cell_lib[cell]["pin_info"][port]["direction"] == "output"
+
+    def is_register(self, cell_name: str) -> bool:
+        return self.cell_info_map[cell_name]["type"] in _REGISTER_TYPES
+
+    # --------------------------------------------------- module walk
+
+    def _module_wires(self, module: Module):
+        """wires {name: (type, high, low)} + assign alias map
+        (reference parse_wires, :472-557)."""
+        wires = {}
+        equal = {}
+        for d in module.decls:
+            kind = {"input": "i", "output": "o", "wire": "w"}[d.kind]
+            if d.name not in wires:
+                wires[d.name] = (kind, max(d.msb, d.lsb), min(d.msb, d.lsb))
+        for a in module.assigns:
+            lhs = arg_to_str(a.lhs)
+            rhs = arg_to_str(a.rhs)
+            equal[lhs] = rhs
+        return wires, equal
+
+    def _io2arg(self, conns, wires, father_wires, father_io2arg):
+        """Map module io bits -> father-module args with trace depth
+        (reference parse_io2arg, :559-617)."""
+        io2arg = {}
+        for portname, arg in conns:
+            arg_bits = expand_arg(arg, father_wires)
+            wire_type, high, low = wires[portname]
+            width = high - low + 1
+            if width == 1:
+                names = [portname]
+            else:
+                names = [f"{portname}[{i}]" for i in range(high, low - 1, -1)]
+            for name, arg_name in zip(names, arg_bits):
+                entry = (wire_type, arg_name, 1)
+                if father_io2arg is not None and \
+                        father_io2arg.get(arg_name) is not None:
+                    entry = (wire_type, father_io2arg[arg_name][1],
+                             father_io2arg[arg_name][2] + 1)
+                io2arg[name] = entry
+        return io2arg
+
+    def _walk_module(self, modules, module_name, instance_name, conns,
+                     call_path):
+        module = modules.get(module_name)
+        if module is None:
+            raise KeyError(f"Target module {module_name} is not found!")
+        wires, equal = self._module_wires(module)
+
+        if module_name == self.top_module:
+            io2arg = None
+            child_call_path = ""
+        else:
+            father_wires = self.module_wires_map[call_path]
+            father_io2arg = self.module_io2arg_map[call_path]
+            io2arg = self._io2arg(conns, wires, father_wires, father_io2arg)
+            child_call_path = (instance_name if call_path == ""
+                               else f"{call_path}/{instance_name}")
+
+        for w1, w2 in equal.items():
+            g1 = update_netname(w1, call_path, io2arg)
+            g2 = update_netname(w2, call_path, io2arg)
+            self.equal_wire_map[g1] = g2
+        self.module_wires_map[child_call_path] = wires
+        self.module_io2arg_map[child_call_path] = io2arg
+
+        for inst in module.instances:
+            if inst.module in modules:
+                self._walk_module(modules, inst.module, inst.name,
+                                  inst.conns, child_call_path)
+            elif inst.module.startswith("SRAM"):
+                self._add_ram(inst, wires, io2arg, child_call_path)
+            else:
+                self._add_cell(inst, io2arg, child_call_path)
+
+    def _pin_position(self, pinname: str):
+        pos = self.pin_loc_map.get(pinname)
+        if pos is None:
+            raise KeyError(f"pin with no location: {pinname}")
+        return pos
+
+    def _add_cell(self, inst, io2arg, call_path):
+        """Leaf standard cell -> one node per pin + fanin->fanout cell
+        edges (registers: clk->output only). Reference parse_cell,
+        :831-958."""
+        cell_name = inst.module
+        instance_name = (inst.name if call_path == ""
+                         else f"{call_path}/{inst.name}")
+        instance_name = instance_name.replace("\\", "")
+
+        fanins, fanouts = [], []
+        ports = []
+        for portname, arg in inst.conns:
+            if self.is_output_port(cell_name, portname):
+                ptype = "fanout"
+            elif "clk" in portname.lower():
+                ptype = "CLK"
+            else:
+                ptype = "fanin"
+            ports.append((portname, arg, ptype))
+            if ptype in ("CLK", "fanin"):
+                fanins.append(portname)
+            else:
+                fanouts.append(portname)
+
+        for portname, arg, ptype in ports:
+            netname = arg_to_str(arg)
+            netname = update_netname(netname, call_path, io2arg)
+            netname = netname.replace("\\", "")
+            pinname = f"{instance_name}/{portname}"
+            position = self._pin_position(pinname)
+            ninfo = self.nets.setdefault(netname, NetInfo(netname))
+            if ptype == "fanout":
+                pin_type = "drive"
+                ninfo.drive_pin = pinname
+                ninfo.drive_cell = cell_name
+            else:
+                pin_type = "sink"
+                ninfo.sink_pins.append(pinname)
+                cap = float(self.cell_info_map[cell_name]["pin_info"]
+                            [portname]["capacitance"])
+                ninfo.total_output_cap += cap
+            self.node_attrs[pinname] = {
+                "net": netname, "cell_type": cell_name, "port": portname,
+                "pin_type": pin_type, "position": position,
+                "DFF": "DFF" in cell_name,
+            }
+        is_reg = self.is_register(cell_name)
+        for fo in fanouts:
+            for fi in fanins:
+                if is_reg and "clk" not in fi.lower():
+                    continue
+                self.edges.append((f"{instance_name}/{fi}",
+                                   f"{instance_name}/{fo}", "cell"))
+
+    def _add_ram(self, inst, wires, io2arg, call_path):
+        """SRAM macro -> per-bus-bit pin nodes; only CLK/CE pins gain
+        cell edges to outputs, gated on the lib's timing_tabs.
+        Reference parse_RAM, :741-829."""
+        cell_name = inst.module
+        fanins, fanouts = [], []
+        for portname, arg in inst.conns:
+            bits = expand_arg(arg, wires)
+            width = len(bits)
+            for i, netname in enumerate(bits):
+                netname = update_netname(netname, call_path, io2arg)
+                netname = netname.replace("\\", "")
+                base = (f"{inst.name}" if call_path == ""
+                        else f"{call_path}/{inst.name}")
+                pinname = (f"{base}/{portname}[{width - 1 - i}]" if width > 1
+                           else f"{base}/{portname}")
+                position = self._pin_position(pinname)
+                ninfo = self.nets.setdefault(netname, NetInfo(netname))
+                if self.is_output_port(cell_name, portname):
+                    pin_type = "drive"
+                    ninfo.drive_pin = pinname
+                    ninfo.drive_cell = cell_name
+                    fanouts.append((pinname, portname))
+                else:
+                    pin_type = "sink"
+                    ninfo.sink_pins.append(pinname)
+                    cap = (self.cell_info_map[cell_name]["pin_info"]
+                           [portname]["capacitance"])
+                    if cap == "":
+                        cap = "13.06"  # SRAM default sink cap (ref :806)
+                    ninfo.total_output_cap += float(cap)
+                    if "CLK" in portname or portname in ("CE", "CE1", "CE2"):
+                        fanins.append((pinname, portname))
+                self.node_attrs[pinname] = {
+                    "net": netname, "cell_type": cell_name, "port": portname,
+                    "pin_type": pin_type, "position": position,
+                    "DFF": "DFF" in cell_name,
+                }
+        for fo_pin, fo_port in fanouts:
+            tabs = self.cell_lib[cell_name]["pin_info"][fo_port].get(
+                "timing_tabs", {})
+            for fi_pin, fi_port in fanins:
+                if tabs.get(fi_port) is None:
+                    continue
+                self.edges.append((fi_pin, fo_pin, "cell"))
+
+    # --------------------------------------------------------- graph
+
+    def _resolve_aliases(self):
+        """Transitive assign-alias resolution (reference :1122-1150).
+
+        Deviation (MODEL_NOTES.md #8): the reference copies the aliasee's
+        NetInfo over the alias, dropping the alias net's own sinks. We
+        merge the alias's sinks (and their capacitance) into the aliasee
+        so the shared driver drives all of them — correct Verilog
+        ``assign`` semantics.
+        """
+        equal_net_map = {}
+        for net in self.equal_wire_map:
+            tgt = self.equal_wire_map[net]
+            seen = {net}
+            while self.equal_wire_map.get(tgt) is not None \
+                    and tgt not in seen:
+                seen.add(tgt)
+                tgt = self.equal_wire_map[tgt]
+            equal_net_map[net] = tgt
+        for net1, net2 in equal_net_map.items():
+            target = self.nets.get(net2)
+            if target is None:
+                continue
+            alias = self.nets.pop(net1, None)
+            if alias is not None:
+                target.sink_pins.extend(alias.sink_pins)
+                target.total_output_cap += alias.total_output_cap
+
+    def _connect_nets(self):
+        """PI synthesis + net edges + bboxes + pin2outcap
+        (reference :1152-1198)."""
+        pin2outcap = {}
+        pis: Set[str] = set()
+        for net, ninfo in self.nets.items():
+            drive_pin = ninfo.drive_pin
+            if drive_pin == "":
+                ninfo.drive_pin = net
+                drive_pin = net
+                position = self.pin_loc_map.get(f"{net}/{net}")
+                if position is None:
+                    position = self.pin_loc_map[ninfo.sink_pins[0]]
+                # networkx add_nodes_from merges attrs into an existing
+                # node; mirror that (a driverless net may collide with an
+                # existing pin node name).
+                attrs = {"net": net, "cell_type": "PI", "DFF": True,
+                         "position": position}
+                if net in self.node_attrs:
+                    self.node_attrs[net].update(attrs)
+                else:
+                    self.node_attrs[net] = attrs
+                bin_x, bin_y = position[2:]
+                pis.add(net)
+            else:
+                bin_x, bin_y = self.pin_loc_map[drive_pin][2:]
+            bbox = [bin_x, bin_y, bin_x, bin_y]
+            pin2outcap[drive_pin] = ninfo.total_output_cap
+            for sink_pin in ninfo.sink_pins:
+                self.edges.append((drive_pin, sink_pin, "net"))
+                key = sink_pin if "/" in sink_pin else f"{sink_pin}/{sink_pin}"
+                bx, by = self.pin_loc_map[key][2:]
+                bbox = [min(bbox[0], bx), min(bbox[1], by),
+                        max(bbox[2], bx), max(bbox[3], by)]
+            self.net_bbox_map[net] = bbox
+        return pin2outcap, pis
+
+    def _topo_levels(self, succs, pis, pos, po2path):
+        """Forward BFS levels + reverse de-dup so each node lands in its
+        deepest level; prune nodes in no level (reference :1452-1517)."""
+        levels = [list(pis)]
+        cur = list(pis)
+        remaining = set(pis)
+        while True:
+            nxt = set()
+            for nd in cur:
+                nxt.update(succs.get(nd, ()))
+            if not nxt:
+                break
+            cur = list(nxt)
+            levels.append(cur)
+            remaining |= nxt
+        visited: Set[str] = set()
+        rev = []
+        for rlevel in reversed(levels):
+            new_rlevel = set(rlevel) - visited
+            visited |= new_rlevel
+            new_rlevel = list(new_rlevel)
+            targets = [nd for nd in new_rlevel if nd in pos]
+            path_ids = [po2path[t] for t in targets]
+            rev.append((new_rlevel, targets, path_ids))
+        rev.reverse()
+        removed = set(self.node_attrs) - remaining
+        for nd in removed:
+            del self.node_attrs[nd]
+        self.edges = [(u, v, t) for (u, v, t) in self.edges
+                      if u in self.node_attrs and v in self.node_attrs]
+        return rev
+
+    def _find_critical_path(self, preds, node2level, endpoint):
+        """Greedy backtrace through level-(k-1) predecessors, stopping at
+        a clk pin or level<2 (reference :1433-1450), with a no-progress
+        guard the reference lacks."""
+        cur_node = endpoint
+        cur_level = node2level[cur_node]
+        path = [endpoint]
+        while cur_level >= 2:
+            progressed = False
+            stop = False
+            for nd in preds.get(cur_node, ()):
+                if "clk" in nd.lower():
+                    stop = True
+                    break
+                if node2level.get(nd) == cur_level - 1:
+                    path.append(nd)
+                    cur_level -= 1
+                    cur_node = nd
+                    progressed = True
+                    break
+            if stop or not progressed:
+                break
+        return path
+
+    def _check_path(self, edge_set, path):
+        """Verify a report path exists edge-by-edge (reference :1040-1064)."""
+        pre = path[0]
+        for nd in path[1:]:
+            if (pre, nd) not in edge_set:
+                return False, nd
+            pre = nd
+        return True, None
+
+    def _rasterize_masks(self, ept2path, timing_paths):
+        """Per-path bbox rasterization -> COO indices (reference
+        :1301-1369, masking='critical')."""
+        rows, cols = [], []
+        for i, info in enumerate(timing_paths):
+            idxs = set()
+            path = ept2path[info.end]
+            for j in range(len(path) - 1):
+                dl = self.pin_loc_map.get(path[j])
+                dl = (self.pin_loc_map[f"{path[j]}/{path[j]}"][2:]
+                      if dl is None else dl[2:])
+                sl = self.pin_loc_map.get(path[j + 1])
+                sl = (self.pin_loc_map[f"{path[j + 1]}/{path[j + 1]}"][2:]
+                      if sl is None else sl[2:])
+                x1, x2 = min(dl[0], sl[0]), max(dl[0], sl[0])
+                y1, y2 = min(dl[1], sl[1]), max(dl[1], sl[1])
+                for x in range(x1, x2 + 1):
+                    idxs.update(range(x * MAP_SIZE_Y + y1,
+                                      x * MAP_SIZE_Y + y2 + 1))
+            rows.extend([i] * len(idxs))
+            cols.extend(sorted(idxs))
+        return np.array([rows, cols], dtype=np.int64)
+
+    # ----------------------------------------------------------- API
+
+    def parse(self, data_dir: str):
+        """Parse one design directory with the reference's fixed layout
+        (reference :1392-1397). Returns a ParseResult dict."""
+        netlist_path = os.path.join(data_dir, "post-place/post-place.v")
+        preopt_path = os.path.join(data_dir, "post-place/path.tarpt")
+        postopt_path = os.path.join(data_dir, "post-route/path.tarpt")
+        pin_loc_path = os.path.join(data_dir, "positions/pin_bin.txt")
+
+        with open(postopt_path) as f:
+            parse_postopt_report(f.read(), self.db)
+        self.pin_loc_map = parse_pin_locations(pin_loc_path)
+        with open(preopt_path) as f:
+            timing_paths, _, _ = parse_preopt_report(f.read(), self.db)
+        with open(netlist_path) as f:
+            netlist_text = f.read()
+        return self.build(netlist_text, timing_paths)
+
+    def build(self, netlist_text: str, timing_paths):
+        """Netlist text + parsed timing paths -> graph dict."""
+        modules = parse_verilog(netlist_text)
+        if self.top_module not in modules:
+            raise KeyError(f"top module {self.top_module} not found")
+        self._walk_module(modules, self.top_module, None, None, "")
+        self._resolve_aliases()
+        pin2outcap, pis = self._connect_nets()
+
+        # adjacency
+        succs: Dict[str, list] = {}
+        preds: Dict[str, list] = {}
+        for u, v, _t in self.edges:
+            succs.setdefault(u, []).append(v)
+            preds.setdefault(v, []).append(u)
+
+        pos = set()
+        po2path = {}
+        for i, info in enumerate(timing_paths):
+            pos.add(info.end)
+            po2path[info.end] = i
+
+        topo_levels = self._topo_levels(succs, pis, pos, po2path)
+        node2level = {}
+        for li, (nodes, _t, _p) in enumerate(topo_levels):
+            for nd in nodes:
+                node2level[nd] = li
+
+        # rebuild adjacency post-prune
+        succs, preds = {}, {}
+        edge_set = set()
+        for u, v, _t in self.edges:
+            succs.setdefault(u, []).append(v)
+            preds.setdefault(v, []).append(u)
+            edge_set.add((u, v))
+
+        ept2path = {}
+        for info in timing_paths:
+            ept2path[info.end] = self._find_critical_path(
+                preds, node2level, info.end)
+
+        missing = []
+        for i, info in enumerate(timing_paths):
+            ok, stop = self._check_path(edge_set, info.path)
+            if not ok:
+                missing.append((i, info.start, info.end, stop))
+        if missing:
+            detail = "; ".join(
+                f"path {i}: start {s}, end {e}, stopped at {st}"
+                for i, s, e, st in missing[:10])
+            raise AssertionError(
+                f"{len(missing)} timing paths not found in the netlist: "
+                + detail)
+
+        mask_coo = self._rasterize_masks(ept2path, timing_paths)
+
+        return {
+            "node_attrs": self.node_attrs,
+            "edges": self.edges,
+            "topo_levels": topo_levels,
+            "timing_paths": timing_paths,
+            "PIs": pis,
+            "pin2outcap": pin2outcap,
+            "pin2delay": self.db.pin2delay,
+            "pin2trans": self.db.pin2trans,
+            "mask_coo": mask_coo,
+            "num_paths": len(timing_paths),
+        }

@@ -1,0 +1,257 @@
+"""End-to-end host pipeline tests: synthetic raw corpus -> verilog/report
+parsers -> graph builder -> features -> npz -> loader, with structural
+property checks mirroring the reference's invariants."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from prtp_tpu.data import synthetic
+from prtp_tpu.data.generate import generate_one, load_libs, resolve_top_module
+from prtp_tpu.data.dataset import (
+    load_design_npz,
+    load_single_design,
+    min_max_norm,
+    split_dataset,
+)
+from prtp_tpu.data.netlist import NetlistBuilder, abstract_cell_type, pin2bin
+from prtp_tpu.data.timing_report import (
+    ReportDB,
+    parse_postopt_report,
+    parse_preopt_report,
+)
+from prtp_tpu.data.verilog import parse_verilog, Id, Index, Concat
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    raw = tmp_path_factory.mktemp("rawdata")
+    synthetic.generate_corpus(str(raw), designs=("syn_a", "syn_b"),
+                              num_paths=6, depth=4,
+                              cnn_channels=2, cnn_hw=64)
+    return str(raw)
+
+
+@pytest.fixture(scope="module")
+def parsed_design(corpus, tmp_path_factory):
+    save = tmp_path_factory.mktemp("datasets")
+    out = generate_one(corpus, "syn_a", str(save))
+    return load_design_npz(out), str(save)
+
+
+# ------------------------------------------------------------- verilog
+
+def test_verilog_parser_basics():
+    text = """
+    // comment
+    module top ( a, b, y );
+      input [3:0] a;
+      input b;
+      output y;
+      wire [1:0] w;
+      assign y = w[0];
+      INVx1 u0 ( .A(a[2]), .Y(w[0]) );
+      SUB s ( .p({a[1:0], b, 1'b0}) );
+    endmodule
+    module SUB ( p );
+      input [3:0] p;
+    endmodule
+    """
+    mods = parse_verilog(text)
+    assert set(mods) == {"top", "SUB"}
+    top = mods["top"]
+    assert [d.name for d in top.decls] == ["a", "b", "y", "w"]
+    assert top.decls[0].msb == 3 and top.decls[0].lsb == 0
+    assert len(top.assigns) == 1
+    inv = top.instances[0]
+    assert inv.module == "INVx1" and inv.name == "u0"
+    assert isinstance(inv.conns[0][1], Index)
+    sub = top.instances[1]
+    assert isinstance(sub.conns[0][1], Concat)
+    assert len(sub.conns[0][1].parts) == 3
+
+
+def test_verilog_escaped_identifiers():
+    text = r"""
+    module top ( a );
+      input a;
+      wire \w[0].x ;
+      INVx1 \u0$ ( .A(a), .Y(\w[0].x ) );
+    endmodule
+    """
+    mods = parse_verilog(text)
+    inst = mods["top"].instances[0]
+    assert inst.name == "\\u0$"
+    assert isinstance(inst.conns[1][1], Id)
+
+
+# ------------------------------------------------------------- reports
+
+def test_report_parser_states_and_paths(corpus):
+    with open(os.path.join(corpus, "syn_a/post-route/path.tarpt")) as f:
+        post = f.read()
+    db = ReportDB()
+    all_paths, criticals = parse_postopt_report(post, db)
+    assert len(all_paths) == 6
+    # every third path is VIOLATED in the synthetic corpus
+    assert criticals == [2, 5]
+    with open(os.path.join(corpus, "syn_a/post-place/path.tarpt")) as f:
+        pre = f.read()
+    timing_paths, _, _ = parse_preopt_report(pre, db)
+    assert len(timing_paths) == 6
+    for tp in timing_paths:
+        assert tp.start is not None and tp.path
+        assert tp.path[0].endswith("/QN")
+        assert tp.path[-1].endswith("/D")
+        # critical => negative slack (post-route numbers)
+        if tp.is_critical:
+            assert tp.required_time - tp.arrival_time < 0
+    # pre-route trans values overwrite post-route ones (parse order)
+    some_pin = timing_paths[0].path[2]
+    assert db.pin2trans[some_pin] == pytest.approx(0.02)
+
+
+# --------------------------------------------------------- graph build
+
+def test_netlist_builder_structure(corpus):
+    cell_info_map, cell_info_map2, early_lib, ctype2id = load_libs(corpus)
+    b = NetlistBuilder(resolve_top_module(corpus, "syn_a"), "critical",
+                       cell_info_map2, early_lib)
+    result = b.parse(os.path.join(corpus, "syn_a"))
+    levels = result["topo_levels"]
+    # level 0 = PIs only
+    assert set(levels[0][0]) == set(result["PIs"])
+    # each node appears in exactly one level
+    seen = {}
+    for li, (nodes, _t, _p) in enumerate(levels):
+        for nd in nodes:
+            assert nd not in seen, f"{nd} in levels {seen[nd]} and {li}"
+            seen[nd] = li
+    # levels alternate: even = cell/PI pins (drive or PI), odd = sink pins
+    for li, (nodes, _t, _p) in enumerate(levels):
+        for nd in nodes:
+            attrs = result["node_attrs"][nd]
+            if li == 0:
+                assert attrs["cell_type"] == "PI"
+            elif li % 2 == 1:
+                assert attrs["pin_type"] == "sink", (li, nd)
+            else:
+                assert attrs["pin_type"] == "drive", (li, nd)
+    # endpoints land in levels with their path ids
+    all_path_ids = [p for (_n, _t, pids) in levels for p in pids]
+    assert sorted(all_path_ids) == list(range(result["num_paths"]))
+    # hierarchy: sub-module pins exist with traced global nets
+    assert "s0/g1/A" in result["node_attrs"]
+    assert result["node_attrs"]["s0/g1/A"]["net"] == "q0"
+    # assign alias merged: path 1's first cell input is driven by q1
+    assert ("L1/QN", "c1_0/A", "net") in result["edges"]
+    # masks: one row set per path
+    coo = result["mask_coo"]
+    assert set(np.unique(coo[0])) == set(range(result["num_paths"]))
+    assert coo[1].min() >= 0 and coo[1].max() < 128 * 128
+
+
+def test_abstract_cell_type():
+    assert abstract_cell_type("NAND2x1_ASAP7_75t_R") == "NAND2"
+    assert abstract_cell_type("CKINVDCx6p67_ASAP7_75t_SL") == "INVDC"
+    assert abstract_cell_type("BUFx12_ASAP7_75t_R") == "BUF"
+
+
+def test_pin2bin_clamps():
+    assert pin2bin(0, 0, 4, 4) == (0, 0)
+    assert pin2bin(511.9, 511.9, 4, 4) == (127, 127)
+    assert pin2bin(9999, -5, 4, 4) == (127, 0)
+
+
+def test_sibling_masking_not_provided(corpus):
+    _, cim2, early, _ = load_libs(corpus)
+    with pytest.raises(NotImplementedError):
+        NetlistBuilder("top", "sibling", cim2, early)
+    with pytest.raises(ValueError):
+        NetlistBuilder("top", "bogus", cim2, early)
+
+
+# ------------------------------------------------------------ features
+
+def test_features_and_labels(parsed_design):
+    parsed, _save = parsed_design
+    n = parsed["num_nodes"]
+    num_ctypes = parsed["num_ctypes"]
+    assert num_ctypes == 5  # BUF, DFFHQN, INV, NAND + appended SRAM
+    assert parsed["cell_feat"].shape == (n, num_ctypes + 8)
+    assert parsed["net_feat"].shape == (n, 3)
+    # cell features only on drive pins: one-hot sums to 1 there
+    onehot = parsed["cell_feat"][:, :num_ctypes].sum(axis=1)
+    assert set(np.unique(onehot)) <= {0.0, 1.0}
+    # endpoints have labels
+    ep = parsed["path_endpoint"]
+    assert np.all(parsed["is_end"][ep] == 1)
+    assert np.all(parsed["arrival_time"][ep] > 0)
+    # criticals have negative slack
+    crit_ep = ep[parsed["is_critical"][ep] == 1]
+    slack = parsed["required_time"][crit_ep] - parsed["arrival_time"][crit_ep]
+    assert np.all(slack < 0)
+    assert len(parsed["critical_paths"]) == 2
+    # net features: sink pins of nets have positive pin capacitance
+    net_dst = parsed["net_edges"][1]
+    assert np.all(parsed["net_feat"][net_dst, 2] > 0)
+
+
+def test_num_ctypes_value(corpus):
+    # sorted ctypes BUF,DFFHQN,INV,NAND -> 4, +SRAM = 5... guard the count
+    with open(os.path.join(corpus, "ctype2id.json")) as f:
+        c2i = json.load(f)
+    assert len(c2i) == 4
+
+
+# -------------------------------------------------------------- loader
+
+def test_loader_splits_and_oversampling(parsed_design):
+    parsed, save = parsed_design
+    train = load_single_design("train", save, "syn_a", os_rate=2,
+                               feat_reduce=[6, 1])
+    # feat_reduce truncates trailing columns
+    assert train["cell_feat"].shape[1] == parsed["cell_feat"].shape[1] - 6
+    assert train["net_feat"].shape[1] == 2
+    # oversampling: 4 neg vs 2 pos => ratio 1.0, not > 1 => no oversample
+    assert len(train["path_ids"]) == parsed["num_paths"]
+
+    test = load_single_design("test", save, "syn_a")
+    assert os.path.exists(os.path.join(save, "syn_a_split.json"))
+    test2 = load_single_design("test", save, "syn_a")
+    assert test["path_ids"] == test2["path_ids"]  # persistent split
+    assert set(test["path_ids"]) <= set(range(parsed["num_paths"]))
+
+
+def test_min_max_norm():
+    x = np.array([[1.0, 0.0], [1.0, 5.0], [1.0, 10.0]], np.float32)
+    out = min_max_norm(x, 1)
+    np.testing.assert_allclose(out[:, 1], [0, 0.5, 1.0])
+    np.testing.assert_allclose(out[:, 0], 1.0)  # untouched before start
+    out2 = min_max_norm(x, 0)
+    np.testing.assert_allclose(out2[:, 0], 0.0)  # constant column -> 0
+
+
+def test_split_dataset_proportions():
+    import random
+    rng = random.Random(0)
+    paths = list(range(100))
+    crit = list(range(20))
+    val, test = split_dataset(paths, crit, rng)
+    assert len(val) == 4 + 16
+    assert len(val) + len(test) == 100
+    assert set(val) | set(test) == set(paths)
+
+
+# ------------------------------------------------------- npz roundtrip
+
+def test_npz_roundtrip(parsed_design, corpus):
+    parsed, save = parsed_design
+    again = load_design_npz(os.path.join(save, "syn_a.npz"))
+    np.testing.assert_array_equal(parsed["cell_feat"], again["cell_feat"])
+    assert len(parsed["levels"]) == len(again["levels"])
+    for (a, b) in zip(parsed["levels"], again["levels"]):
+        np.testing.assert_array_equal(np.sort(a[0]), np.sort(b[0]))
+    assert again["cnn_input"].shape == (2, 64, 64)
