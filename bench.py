@@ -1,0 +1,236 @@
+"""Benchmark: full multimodal train step throughput on TPU vs a torch-CPU
+baseline that replicates the reference's levelized compute.
+
+Prints exactly ONE JSON line to stdout:
+  {"metric": "train_steps_per_sec", "value": N, "unit": "steps/s",
+   "vs_baseline": R, ...}
+
+The baseline is an original torch implementation of the same math the
+reference runs (per-level python loop of gather -> mailbox-softmax/mean
+segment reduce -> MLPs, LayoutNet CNN, masked-map fusion, MSE + Adam),
+on CPU — the reference's own hardware when no CUDA GPU is present and
+the only baseline measurable in this container. Same graph, same dims,
+same batch size.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+# ----------------------------------------------------------- workload
+
+LEVEL_SIZES_NODES = 80_000
+NUM_LEVELS = 20
+BATCH = 1350
+MAP_SIZE = 128
+CNN_HW = 512
+OUT_DIM = 128
+HIDDEN = 256
+CELL_FEAT = 36
+NET_FEAT = 3
+TPU_STEPS = 30
+CPU_STEPS = 3
+
+
+def build_design():
+    from prtp_tpu.data.random_design import bench_level_sizes, make_random_design
+    sizes = bench_level_sizes(LEVEL_SIZES_NODES, NUM_LEVELS, decay=0.93)
+    parsed = make_random_design(
+        sizes, cell_feat_dim=CELL_FEAT, net_feat_dim=NET_FEAT,
+        map_size=MAP_SIZE, cnn_hw=CNN_HW, mask_nnz_per_path=96, seed=7)
+    return parsed, sizes
+
+
+def bench_tpu(parsed):
+    import jax
+    import jax.numpy as jnp
+    from prtp_tpu.graph import pack_design
+    from prtp_tpu.models import PathModel
+    from prtp_tpu.trainer import (init_state, make_optimizer,
+                                  make_train_step, pad_batch)
+
+    design = pack_design(parsed, map_size=MAP_SIZE)
+    model = PathModel(out_dim=OUT_DIM, hidden_dim=HIDDEN,
+                      cnn_outdim=OUT_DIM, map_size=MAP_SIZE)
+    tx = make_optimizer(1e-3)
+    state = init_state(model, tx, design, jax.random.PRNGKey(0))
+    step = make_train_step(model, tx, "reg")
+    batch = min(BATCH, design.num_paths)
+    rng = np.random.default_rng(0)
+    ids, mask = pad_batch(
+        rng.permutation(design.num_paths)[:batch].astype(np.int64), batch)
+
+    t0 = time.time()
+    state, mets = step(state, design, ids, mask)
+    jax.block_until_ready(mets["loss"])
+    log(f"tpu compile+step0: {time.time() - t0:.1f}s "
+        f"loss={float(mets['loss']):.3f} backend={jax.default_backend()}")
+    t0 = time.time()
+    for _ in range(TPU_STEPS):
+        state, mets = step(state, design, ids, mask)
+    jax.block_until_ready(mets["loss"])
+    dt = (time.time() - t0) / TPU_STEPS
+    log(f"tpu steps/sec: {1 / dt:.2f} loss={float(mets['loss']):.3f}")
+    return 1.0 / dt, design.num_paths, batch
+
+
+def bench_torch_cpu(parsed):
+    """Reference-style levelized torch model, CPU, same shapes."""
+    import torch
+    import torch.nn as nn
+    torch.manual_seed(0)
+    torch.set_num_threads(max(torch.get_num_threads(), 8))
+
+    n = parsed["num_nodes"]
+    levels = parsed["levels"]
+    cell_feat = torch.from_numpy(parsed["cell_feat"])
+    net_feat = torch.from_numpy(parsed["net_feat"])
+    arrival = torch.from_numpy(parsed["arrival_time"])
+
+    # per-level in-edge tables (host prep, not timed)
+    node_level = np.full(n, -1, np.int64)
+    for li, (nodes, _t, _p) in enumerate(levels):
+        node_level[nodes] = li
+    per_level = {}
+    for etype, (src, dst) in (("cell", parsed["cell_edges"]),
+                              ("net", parsed["net_edges"])):
+        lev = node_level[dst]
+        for li in np.unique(lev):
+            sel = lev == li
+            per_level[(etype, int(li))] = (
+                torch.from_numpy(src[sel]), torch.from_numpy(dst[sel]))
+
+    def mlp(i, h, o):
+        return nn.Sequential(nn.Linear(i, h), nn.LeakyReLU(0.0),
+                             nn.Linear(h, o))
+
+    fc_cell_self = mlp(CELL_FEAT, HIDDEN, OUT_DIM)
+    fc_cell_neigh = mlp(OUT_DIM, HIDDEN, OUT_DIM)
+    fc_net_self = mlp(NET_FEAT, HIDDEN, OUT_DIM)
+    layoutnet = nn.Sequential(
+        nn.Conv2d(2, 32, 9, 1, 4), nn.ReLU(), nn.MaxPool2d(2, 2),
+        nn.Conv2d(32, 64, 7, 1, 3), nn.ReLU(), nn.MaxPool2d(2, 2),
+        nn.Conv2d(64, 32, 9, 1, 4), nn.ReLU(),
+        nn.Conv2d(32, 1, 7, 1, 3), nn.LeakyReLU(0.1))
+    fcn = nn.Linear(MAP_SIZE * MAP_SIZE, OUT_DIM)
+    mlp_alpha = mlp(1, 128, 64)
+    fuse_in = OUT_DIM + OUT_DIM + 64
+    mlp_fuse = mlp(fuse_in, fuse_in * 2, 1)
+    params = (list(fc_cell_self.parameters())
+              + list(fc_cell_neigh.parameters())
+              + list(fc_net_self.parameters())
+              + list(layoutnet.parameters()) + list(fcn.parameters())
+              + list(mlp_alpha.parameters()) + list(mlp_fuse.parameters()))
+    optim = torch.optim.Adam(params, 1e-3)
+
+    def seg_softmax_sum(msg, dst, n_seg):
+        d = msg.shape[1]
+        idx = dst.unsqueeze(1).expand_as(msg)
+        mx = torch.full((n_seg, d), float("-inf"))
+        mx = mx.scatter_reduce(0, idx, msg.detach(), reduce="amax",
+                               include_self=True)
+        mx = torch.where(torch.isinf(mx), torch.zeros_like(mx), mx)
+        ex = (msg - mx[dst]).exp()
+        denom = torch.zeros(n_seg, d).index_add(0, dst, ex)
+        num = torch.zeros(n_seg, d).index_add(0, dst, ex * msg)
+        return num / denom.clamp_min(1e-12)
+
+    def seg_mean(msg, dst, n_seg):
+        d = msg.shape[1]
+        s = torch.zeros(n_seg, d).index_add(0, dst, msg)
+        c = torch.zeros(n_seg).index_add(0, dst, torch.ones(len(dst)))
+        return s / c.clamp_min(1.0).unsqueeze(1)
+
+    cnn_in = torch.from_numpy(parsed["cnn_input"]).unsqueeze(0)
+    num_paths = parsed["num_paths"]
+    batch = min(BATCH, num_paths)
+    rng = np.random.default_rng(0)
+    pids = rng.permutation(num_paths)[:batch]
+    masks = np.zeros((batch, MAP_SIZE * MAP_SIZE), np.float32)
+    coo = parsed["mask_coo"]
+    keep = np.isin(coo[0], pids)
+    remap = {p: i for i, p in enumerate(pids)}
+    rr = np.array([remap[p] for p in coo[0][keep]])
+    masks[rr, coo[1][keep]] = 1.0
+    masks = torch.from_numpy(masks)
+    endpoints = torch.from_numpy(parsed["path_endpoint"][pids])
+    lvl_ids = torch.from_numpy(parsed["path_level"][pids]).unsqueeze(1)
+    target = arrival[endpoints]
+
+    def train_step():
+        optim.zero_grad()
+        h = torch.zeros(n, OUT_DIM)
+        for li, (nodes, _t, _p) in enumerate(levels):
+            nodes_t = torch.from_numpy(nodes)
+            if li % 2 == 1:
+                src, dst = per_level[("net", li)]
+                neigh = seg_mean(h[src], dst, n)
+                h_new = torch.relu(
+                    fc_net_self(net_feat[nodes_t]) + neigh[nodes_t])
+            else:
+                h_self = fc_cell_self(cell_feat[nodes_t])
+                if li == 0 or ("cell", li) not in per_level:
+                    h_new = torch.relu(h_self)
+                else:
+                    src, dst = per_level[("cell", li)]
+                    neigh = seg_softmax_sum(h[src], dst, n)
+                    h_new = torch.relu(
+                        h_self + fc_cell_neigh(neigh[nodes_t]))
+            h = h.index_copy(0, nodes_t, h_new)
+        feat_map = layoutnet(cnn_in).reshape(1, -1)
+        h_cnn = fcn(masks * feat_map)
+        h_global = mlp_alpha(lvl_ids)
+        out = mlp_fuse(torch.cat([h[endpoints], h_cnn, h_global], 1))
+        loss = torch.nn.functional.mse_loss(out.squeeze(-1), target)
+        loss.backward()
+        optim.step()
+        return float(loss)
+
+    loss = train_step()  # warmup
+    t0 = time.time()
+    for _ in range(CPU_STEPS):
+        loss = train_step()
+    dt = (time.time() - t0) / CPU_STEPS
+    log(f"torch-cpu steps/sec: {1 / dt:.3f} loss={loss:.3f}")
+    return 1.0 / dt
+
+
+def main():
+    parsed, sizes = build_design()
+    log(f"bench design: {parsed['num_nodes']} nodes, "
+        f"{len(parsed['cell_edges'][0])} cell-edges, "
+        f"{len(parsed['net_edges'][0])} net-edges, "
+        f"{parsed['num_paths']} paths, {len(sizes)} levels")
+    tpu_sps, num_paths, batch = bench_tpu(parsed)
+    try:
+        cpu_sps = bench_torch_cpu(parsed)
+    except Exception as e:  # torch missing/broken: report absolute only
+        log(f"torch baseline failed: {e}")
+        cpu_sps = None
+    result = {
+        "metric": "train_steps_per_sec",
+        "value": round(tpu_sps, 3),
+        "unit": "steps/s",
+        "vs_baseline": round(tpu_sps / cpu_sps, 2) if cpu_sps else None,
+        "detail": {
+            "nodes": parsed["num_nodes"],
+            "edges": int(len(parsed["cell_edges"][0])
+                         + len(parsed["net_edges"][0])),
+            "paths": int(num_paths),
+            "batch": int(batch),
+            "baseline": "torch-cpu reference-style levelized step",
+            "baseline_steps_per_sec": round(cpu_sps, 4) if cpu_sps else None,
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -71,7 +71,7 @@ def load_libs(rawdata_path: str):
 
 
 def generate_one(rawdata_path: str, design: str, data_save_path: str,
-                 masking: str = "critical") -> str:
+                 masking: str = "critical", map_size: int = 128) -> str:
     """Parse one raw design and write {design}.npz; returns the path."""
     cell_info_map, cell_info_map2, early_lib, ctype2id = load_libs(
         rawdata_path)
@@ -79,7 +79,7 @@ def generate_one(rawdata_path: str, design: str, data_save_path: str,
     top_module = resolve_top_module(rawdata_path, design)
     builder = NetlistBuilder(top_module, masking,
                              cell_info_map=cell_info_map2,
-                             cell_lib=early_lib)
+                             cell_lib=early_lib, map_size=map_size)
     result = builder.parse(design_dir)
     parsed = extract_features(result, cell_info_map, ctype2id)
     with open(os.path.join(design_dir, "features/datas.pkl"), "rb") as f:
@@ -106,7 +106,8 @@ def main(argv=None):
             print(f"Design {design} already parsed! Skip")
             continue
         print(f"-------- Parsing design: {design}...")
-        generate_one(rawdata_path, design, data_save_path, options.masking)
+        generate_one(rawdata_path, design, data_save_path, options.masking,
+                     map_size=options.map_size)
         done.append(design)
     # default design lists if absent: all designs train + test
     all_designs = [d[:-4] for d in sorted(os.listdir(data_save_path))

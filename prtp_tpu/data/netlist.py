@@ -53,11 +53,13 @@ def pin2bin(pin_x, pin_y, bin_size_x, bin_size_y,
     return bin_x, bin_y
 
 
-def parse_pin_locations(path: str) -> Dict[str, Tuple[float, float, int, int]]:
+def parse_pin_locations(path: str, map_size: int = MAP_SIZE_X,
+                        canvas: float = 512.0,
+                        ) -> Dict[str, Tuple[float, float, int, int]]:
     """``positions/pin_bin.txt`` -> {pin: (x, y, bin_x, bin_y)}.
 
-    The chip canvas is 512x512 microns binned to 128x128 (bin size 4,
-    reference :252).
+    The chip canvas is 512x512 microns binned to map_size x map_size
+    (bin size 4 at the reference default of 128, reference :252).
     """
     res = {}
     with open(path) as f:
@@ -69,7 +71,8 @@ def parse_pin_locations(path: str) -> Dict[str, Tuple[float, float, int, int]]:
                         .replace("\\", ""))
             coord_x, coord_y = float(coord_x), float(coord_y.strip())
             bx, by = pin2bin(coord_x, coord_y,
-                             int(512 / MAP_SIZE_X), int(512 / MAP_SIZE_Y))
+                             int(canvas / map_size), int(canvas / map_size),
+                             map_x=map_size, map_y=map_size)
             res[pin_name] = (coord_x, coord_y, bx, by)
     return res
 
@@ -125,7 +128,7 @@ class NetlistBuilder:
     """
 
     def __init__(self, top_module: str, masking: str,
-                 cell_info_map: dict, cell_lib: dict):
+                 cell_info_map: dict, cell_lib: dict, map_size: int = 128):
         if masking not in ("critical", "sibling"):
             raise ValueError(
                 f"Wrong masking technique: {masking}, "
@@ -136,6 +139,7 @@ class NetlistBuilder:
                 "(src/verilog_parser_asap7.py:1338-1340) and not provided")
         self.top_module = top_module
         self.masking = masking
+        self.map_size = map_size
         self.cell_info_map = cell_info_map
         self.cell_lib = cell_lib
 
@@ -484,8 +488,8 @@ class NetlistBuilder:
                 x1, x2 = min(dl[0], sl[0]), max(dl[0], sl[0])
                 y1, y2 = min(dl[1], sl[1]), max(dl[1], sl[1])
                 for x in range(x1, x2 + 1):
-                    idxs.update(range(x * MAP_SIZE_Y + y1,
-                                      x * MAP_SIZE_Y + y2 + 1))
+                    idxs.update(range(x * self.map_size + y1,
+                                      x * self.map_size + y2 + 1))
             rows.extend([i] * len(idxs))
             cols.extend(sorted(idxs))
         return np.array([rows, cols], dtype=np.int64)
@@ -502,7 +506,7 @@ class NetlistBuilder:
 
         with open(postopt_path) as f:
             parse_postopt_report(f.read(), self.db)
-        self.pin_loc_map = parse_pin_locations(pin_loc_path)
+        self.pin_loc_map = parse_pin_locations(pin_loc_path, self.map_size)
         with open(preopt_path) as f:
             timing_paths, _, _ = parse_preopt_report(f.read(), self.db)
         with open(netlist_path) as f:

@@ -1,0 +1,151 @@
+"""Evaluation driver.
+
+CLI parity with the reference ``python test.py`` (``src/test.py``):
+loads the trained checkpoint, evaluates every design in the test list
+over all of its paths, prints per-level R²/MAPE diagnostics
+(``src/test.py:211-216``), saves a relative-error-vs-level scatter plot
+per design to ``visual/{case}.png`` (``:244-249``), and appends the
+overall metric row to ``predict.txt`` (``:315-317``).
+
+Usage:
+    python -m prtp_tpu.test --data_save_path ... --model_saving_dir ...
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from time import time
+
+import numpy as np
+import jax
+
+from .data.dataset import get_design_list, load_design_npz
+from .graph import pack_design
+from .models.fusion import model_from_options
+from .options import get_options
+from .trainer import (init_state_abstract, make_eval_step, make_optimizer,
+                      pad_batch)
+from .utils import checkpoint as ckpt
+from .utils import metrics as M
+
+
+def load_model_state(options, sample_pack):
+    """Restore the checkpoint (must exist — reference src/test.py:37)."""
+    assert ckpt.checkpoint_exists(options.model_saving_dir), \
+        f"no checkpoint in {options.model_saving_dir}"
+    model = model_from_options(options)
+    tx = make_optimizer(options.learning_rate, options.weight_decay)
+    template = init_state_abstract(model, tx, sample_pack,
+                                   jax.random.PRNGKey(0))
+    state, config = ckpt.load_checkpoint(options.model_saving_dir, template)
+    return model, state, config
+
+
+def _feat_adjusted(parsed, options):
+    if options.feat_reduce is not None:
+        if options.feat_reduce[1] != 0:
+            parsed["net_feat"] = parsed["net_feat"][:, :-options.feat_reduce[1]]
+        if options.feat_reduce[0] != 0:
+            parsed["cell_feat"] = parsed["cell_feat"][:, :-options.feat_reduce[0]]
+    if options.norm:
+        from .data.dataset import min_max_norm
+        parsed["cell_feat"] = min_max_norm(parsed["cell_feat"],
+                                           parsed["num_ctypes"])
+    return parsed
+
+
+def test(options, designs):
+    """Evaluate all paths of each design (reference test(), :124-318)."""
+    res_save_path = os.path.join(options.model_saving_dir, "predict.txt")
+    overall = dict(loss=0.0, r2=0.0, acc=0.0, recall=0.0, precision=0.0,
+                   f1=0.0)
+    res = []
+
+    # sample design for state template
+    first = _feat_adjusted(load_design_npz(
+        os.path.join(options.data_save_path, f"{designs[0]}.npz")), options)
+    first_pack = pack_design(first, map_size=options.map_size)
+    model, state, _config = load_model_state(options, first_pack)
+    eval_step = make_eval_step(model, options.task)
+
+    for case_idx, design in enumerate(designs):
+        parsed = _feat_adjusted(load_design_npz(
+            os.path.join(options.data_save_path, f"{design}.npz")), options)
+        pack = pack_design(parsed, map_size=options.map_size)
+        start_time = time()
+        all_ids = np.arange(parsed["num_paths"], dtype=np.int64)
+        pids, mask = pad_batch(all_ids, len(all_ids))
+        preds, mets = eval_step(state, pack, pids, mask)
+        preds = np.asarray(preds)
+        runtime = time() - start_time
+
+        levels = parsed["path2level"]
+        arrival = parsed["arrival_time"][parsed["path_endpoint"]]
+        if options.task == "reg":
+            # per-level diagnostics (reference src/test.py:211-216)
+            for lvl in np.unique(levels):
+                sel = levels == lvl
+                if sel.sum() >= 2:
+                    r2_l = float(M.r2_score(preds[sel], arrival[sel]))
+                    mape_l = float(M.mape(preds[sel], arrival[sel]))
+                    print(f"level {lvl}: #={int(sel.sum())}, r2={r2_l}, "
+                          f"mape={mape_l}")
+            _plot_relative_error(options, case_idx, levels, preds, arrival)
+
+        loss = float(mets["loss"])
+        r2 = float(mets["r2"])
+        acc, recall, precision, f1 = M.classification_metrics(
+            mets["tp"], mets["fp"], mets["tn"], mets["fn"])
+        for k, v in zip(("loss", "r2", "acc", "recall", "precision", "f1"),
+                        (loss, r2, acc, recall, precision, f1)):
+            overall[k] += v
+        print(f"case {case_idx}, runtime: {runtime}")
+        print(f"\ttp: {int(mets['tp'])}  fp: {int(mets['fp'])} "
+              f" fn: {int(mets['fn'])}  tn: {int(mets['tn'])} "
+              f" precision: {round(precision, 3)}")
+        print(f"\tloss:{loss:.3f}, r2:{r2:.3f}, acc:{acc:.3f}, "
+              f"recall:{recall:.3f}, F1 score:{f1:.3f}")
+        res.append([loss, r2, acc, recall, precision, f1])
+
+    n = max(len(designs), 1)
+    for k in overall:
+        overall[k] /= n
+    print("overall val")
+    print(f"\tloss:{overall['loss']:.3f}, r2:{overall['r2']:.3f}, "
+          f"acc:{overall['acc']:.3f}, recall:{overall['recall']:.3f}, "
+          f"F1 score:{overall['f1']:.3f}")
+    with open(res_save_path, "a") as f:
+        f.write("{:.3f} {:.3f} {:.3f} {:.3f} {:.3f} {:.3f}\n".format(
+            overall["loss"], overall["r2"], overall["acc"],
+            overall["recall"], overall["precision"], overall["f1"]))
+    return res, overall["f1"], overall["r2"]
+
+
+def _plot_relative_error(options, case_idx, levels, preds, arrival):
+    """Scatter of relative error vs topo level -> visual/{case}.png
+    (reference src/test.py:244-249). Soft dependency on matplotlib."""
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except Exception:
+        return
+    rel = (preds - arrival) / np.where(arrival == 0, 1.0, arrival)
+    plt.scatter(levels, rel)
+    out_dir = os.path.join(options.model_saving_dir, "visual")
+    os.makedirs(out_dir, exist_ok=True)
+    plt.savefig(os.path.join(out_dir, f"{case_idx}.png"))
+    plt.close()
+
+
+def main(argv=None):
+    options = get_options(argv)
+    options.cell_feat_dim -= options.feat_reduce[0]
+    options.net_feat_dim -= options.feat_reduce[1]
+    designs = get_design_list(options.data_save_path, "test")
+    test(options, designs)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -1,0 +1,211 @@
+"""Training driver.
+
+CLI parity with the reference ``python train.py`` (``src/train.py``):
+same flags (options.py), same loop structure (epochs over designs over
+shuffled path batches, validate every ``--val_interval`` batches and at
+design end, save-on-best-validation checkpoint), same printed metric
+lines — re-engineered on the jitted full-graph step of
+:mod:`prtp_tpu.trainer`.
+
+Usage:
+    python -m prtp_tpu.train --data_save_path ... --model_saving_dir ...
+"""
+
+from __future__ import annotations
+
+import os
+import random
+import sys
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .data.dataset import get_design_list, load_single_design
+from .graph import pack_design
+from .models.fusion import model_from_options
+from .options import get_options
+from .trainer import (
+    DesignCache,
+    batch_count,
+    init_state,
+    init_state_abstract,
+    iterate_batches,
+    make_eval_step,
+    make_optimizer,
+    make_train_step,
+    pad_batch,
+)
+from .utils import checkpoint as ckpt
+from .utils import metrics as M
+from .utils.tee import StderrTee, StdoutTee
+
+
+def _load(usage, options, design):
+    return load_single_design(
+        usage, options.data_save_path, design,
+        os_rate=options.os_rate, feat_reduce=options.feat_reduce,
+        if_norm=options.norm)
+
+
+def validate(options, val_designs, cache_val, eval_step, state):
+    """Per-design validation on the persisted val split; one padded batch
+    per design (reference validate(), src/train.py:137-291)."""
+    overall = dict(loss=0.0, r2=0.0, acc=0.0, recall=0.0, precision=0.0,
+                   f1=0.0)
+    res = []
+    n_cases = 0
+    print("validate:")
+    for case_idx, design in enumerate(val_designs):
+        pack, parsed = cache_val.get(
+            design, lambda d=design: _load("test", options, d))
+        ids = np.asarray(parsed["path_ids"], np.int64)
+        if len(ids) == 0:
+            # tiny designs can yield an empty val split (1/5 of <5 paths);
+            # the reference would crash on an empty DataLoader here
+            print(f"\tcase {case_idx} \t(empty val split, skipped)")
+            continue
+        n_cases += 1
+        pids, mask = pad_batch(ids, max(len(ids), 1))
+        _preds, mets = eval_step(state, pack, pids, mask)
+        loss = float(mets["loss"])
+        r2 = float(mets["r2"])
+        acc, recall, precision, f1 = M.classification_metrics(
+            mets["tp"], mets["fp"], mets["tn"], mets["fn"])
+        for k, v in zip(("loss", "r2", "acc", "recall", "precision", "f1"),
+                        (loss, r2, acc, recall, precision, f1)):
+            overall[k] += v
+        print(f"\tcase {case_idx} \tl:{loss:.3f}, r2:{r2:.3f}, "
+              f"rc:{recall:.3f}, F1:{f1:.3f}")
+        res.append([loss, r2, acc, recall, precision, f1])
+    n = max(n_cases, 1)
+    for k in overall:
+        overall[k] /= n
+    print(f"\toverall r2:{overall['r2']:.3f}, rc:{overall['recall']:.3f}, "
+          f"F1:{overall['f1']:.3f}")
+    return res, overall["f1"], overall["r2"]
+
+
+def train(options, seed):
+    rng = np.random.default_rng(seed)
+    print(options.data_save_path)
+
+    # feat_reduce shrinks the declared dims (reference src/train.py:407-408)
+    options.cell_feat_dim -= options.feat_reduce[0]
+    options.net_feat_dim -= options.feat_reduce[1]
+
+    model = model_from_options(options)
+    tx = make_optimizer(options.learning_rate, options.weight_decay)
+
+    train_designs = get_design_list(options.data_save_path, "train")
+    val_designs = get_design_list(options.data_save_path, "test")
+    print("--- train designs: ", train_designs)
+    print("--- test designs: ", val_designs)
+
+    def packer(parsed):
+        return pack_design(parsed, map_size=options.map_size)
+
+    cache_tr = DesignCache(packer)
+    cache_val = DesignCache(packer)
+
+    first_pack, _ = cache_tr.get(
+        train_designs[0],
+        lambda: _load("train", options, train_designs[0]))
+
+    config = {k: v for k, v in vars(options).items()}
+    if ckpt.checkpoint_exists(options.model_saving_dir):
+        template = init_state_abstract(model, tx, first_pack,
+                                       jax.random.PRNGKey(seed))
+        state, saved_cfg = ckpt.load_checkpoint(options.model_saving_dir,
+                                                template)
+        # resume-with-overrides (reference src/train.py:123-126)
+        if saved_cfg:
+            if not options.change_lr and "learning_rate" in saved_cfg:
+                lr = float(saved_cfg["learning_rate"])
+                options.learning_rate = lr
+            if not options.change_alpha and "alpha" in saved_cfg:
+                options.alpha = float(saved_cfg["alpha"])
+        tx = make_optimizer(options.learning_rate, options.weight_decay)
+        print("----------------Loading the model and hyper-parameters"
+              "----------------")
+    else:
+        state = init_state(model, tx, first_pack, jax.random.PRNGKey(seed))
+        os.makedirs(options.model_saving_dir, exist_ok=True)
+        ckpt.save_checkpoint(options.model_saving_dir, state, config)
+        print("creating model in:", options.model_saving_dir)
+
+    with open(os.path.join(options.model_saving_dir, "seed.txt"), "a") as f:
+        f.write(str(seed))
+
+    print("Hyperparameters are listed as follows:")
+    print(options)
+    print("seed:", seed)
+
+    train_step = make_train_step(model, tx, options.task)
+    eval_step = make_eval_step(model, options.task)
+
+    max_f1 = float(state.best_f1)
+    max_r2 = float(state.best_r2)
+    total_steps = 0
+    print("----------------Start training---------------")
+    for epoch in range(options.num_epoch):
+        for design in train_designs:
+            pack, parsed = cache_tr.get(
+                design, lambda d=design: _load("train", options, d))
+            ids = parsed["path_ids"]
+            num_batch = batch_count(len(ids), options.batch_size,
+                                    options.droplast)
+            for bidx, (pids, mask) in enumerate(iterate_batches(
+                    ids, options.batch_size, rng,
+                    drop_last=options.droplast)):
+                state, mets = train_step(state, pack, pids, mask)
+                loss = float(mets["loss"])
+                r2 = float(mets["r2"])
+                _acc, recall, _prec, f1 = M.classification_metrics(
+                    mets["tp"], mets["fp"], mets["tn"], mets["fn"])
+                print(f"e{epoch},{design},b{bidx}/{num_batch}, "
+                      f"l:{loss:.3f}, r2:{r2:.3f}, r:{recall:.3f}, "
+                      f"F1:{f1:.3f}")
+                total_steps += 1
+                if bidx % options.val_interval == 0 or bidx == num_batch - 1:
+                    _res, val_f1, val_r2 = validate(
+                        options, val_designs, cache_val, eval_step, state)
+                    if options.task == "cls":
+                        improved = val_f1 > max_f1
+                    elif options.task == "reg":
+                        improved = val_r2 > max_r2
+                    else:
+                        raise AssertionError(f"bad task {options.task}")
+                    if improved:
+                        max_f1, max_r2 = val_f1, val_r2
+                        state = state.replace(
+                            best_f1=jnp.asarray(max_f1),
+                            best_r2=jnp.asarray(max_r2))
+                        print("Saving model.... ",
+                              options.model_saving_dir)
+                        ckpt.save_checkpoint(options.model_saving_dir,
+                                             state, config)
+                        print("Model successfully saved")
+                if options.max_steps and total_steps >= options.max_steps:
+                    print(f"max_steps {options.max_steps} reached")
+                    return state
+    return state
+
+
+def main(argv=None):
+    options = get_options(argv)
+    seed = options.seed
+    random.seed(seed)
+    np.random.seed(seed)
+    os.makedirs(options.model_saving_dir, exist_ok=True)
+    if options.preprocess:
+        from .data import generate
+        generate.main(argv)
+    stdout_f = os.path.join(options.model_saving_dir, "stdout.log")
+    stderr_f = os.path.join(options.model_saving_dir, "stderr.log")
+    with StdoutTee(stdout_f), StderrTee(stderr_f):
+        train(options, seed)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

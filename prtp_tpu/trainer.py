@@ -1,0 +1,193 @@
+"""Training engine: jitted train/eval steps over packed designs.
+
+TPU-native counterpart of the reference train loop internals
+(``src/train.py:397-586``): one ``train_step`` = full-graph level scan +
+CNN forward + fusion + masked loss on the endpoint batch + Adam update,
+all inside a single jit (donated state). The reference instead re-runs
+the level loop per batch with per-level host->device transfers; see
+MODEL_NOTES.md for the equivalence argument.
+
+Batches are fixed-size padded id vectors with a validity mask, so each
+design compiles exactly one step executable.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from .graph import DesignData
+from .utils import metrics as M
+
+
+@struct.dataclass
+class TrainState:
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jnp.ndarray
+    best_f1: jnp.ndarray
+    best_r2: jnp.ndarray
+
+
+def make_optimizer(learning_rate: float, weight_decay: float = 0.0):
+    """Adam with torch-style (coupled) L2 weight decay
+    (reference src/train.py:430-443)."""
+    if weight_decay:
+        return optax.chain(
+            optax.add_decayed_weights(weight_decay),
+            optax.adam(learning_rate),
+        )
+    return optax.adam(learning_rate)
+
+
+def init_state(model, tx, design: DesignData, rng, batch_size: int = 4):
+    path_ids = jnp.zeros((min(batch_size, design.num_paths),), jnp.int32)
+    variables = model.init(rng, design, path_ids)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    return TrainState(
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=tx.init(params),
+        step=jnp.zeros((), jnp.int32),
+        best_f1=jnp.zeros(()),
+        best_r2=jnp.full((), -jnp.inf),
+    )
+
+
+def init_state_abstract(model, tx, design: DesignData, rng,
+                        batch_size: int = 4) -> TrainState:
+    """Shape-only TrainState template (no device compute) — used as the
+    treedef for checkpoint restoration, skipping the init compile."""
+    return jax.eval_shape(
+        functools.partial(init_state, model, tx, batch_size=batch_size),
+        design, rng)
+
+
+def _forward(model, params, batch_stats, design, path_ids, train):
+    variables = {"params": params}
+    if batch_stats:
+        variables["batch_stats"] = batch_stats
+    if train and batch_stats:
+        out, updates = model.apply(variables, design, path_ids, train=True,
+                                   mutable=["batch_stats"])
+        return out, updates["batch_stats"]
+    out = model.apply(variables, design, path_ids, train=False)
+    return out, batch_stats
+
+
+def _task_loss_and_metrics(task, preds, design, path_ids, mask):
+    endpoints = design.path_endpoint[path_ids]
+    labels = design.is_critical[endpoints]
+    if task == "cls":
+        loss = M.cross_entropy_loss(preds, labels, mask)
+        pred_labels = jnp.argmax(preds, axis=-1)
+        r2 = jnp.zeros(())
+    else:
+        arrival = design.arrival_time[endpoints]
+        required = design.required_time[endpoints]
+        loss = M.mse_loss(preds, arrival, mask)
+        pred_labels = M.judge_critical(preds, required)
+        r2 = M.r2_score(preds, arrival, mask)
+    tp, fp, tn, fn = M.confusion_counts(pred_labels, labels, mask)
+    return loss, {"loss": loss, "r2": r2, "tp": tp, "fp": fp,
+                  "tn": tn, "fn": fn}
+
+
+def make_train_step(model, tx, task: str = "reg", donate: bool = True):
+    """Returns jitted step(state, design, path_ids, mask) -> (state, metrics)."""
+
+    def step_fn(state: TrainState, design: DesignData, path_ids, mask):
+        def loss_fn(params):
+            preds, new_stats = _forward(model, params, state.batch_stats,
+                                        design, path_ids, train=True)
+            loss, mets = _task_loss_and_metrics(task, preds, design,
+                                                path_ids, mask)
+            return loss, (mets, new_stats)
+
+        (loss, (mets, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            params=new_params, batch_stats=new_stats, opt_state=new_opt,
+            step=state.step + 1)
+        return new_state, mets
+
+    donate_argnums = (0,) if donate else ()
+    return jax.jit(step_fn, donate_argnums=donate_argnums)
+
+
+def make_eval_step(model, task: str = "reg"):
+    """Returns jitted eval(state, design, path_ids, mask) -> (preds, metrics)."""
+
+    def eval_fn(state: TrainState, design: DesignData, path_ids, mask):
+        preds, _ = _forward(model, state.params, state.batch_stats,
+                            design, path_ids, train=False)
+        _, mets = _task_loss_and_metrics(task, preds, design, path_ids, mask)
+        return preds, mets
+
+    return jax.jit(eval_fn)
+
+
+def pad_batch(path_ids: np.ndarray, batch_size: int):
+    """Pad a path-id batch to a fixed size; returns (ids, mask)."""
+    n = len(path_ids)
+    ids = np.zeros(batch_size, np.int32)
+    ids[:n] = path_ids
+    mask = np.zeros(batch_size, np.float32)
+    mask[:n] = 1.0
+    return jnp.asarray(ids), jnp.asarray(mask)
+
+
+def iterate_batches(path_ids, batch_size: int, rng: np.random.Generator,
+                    shuffle: bool = True, drop_last: bool = False):
+    """Shuffled fixed-size padded batches over a path-id universe.
+
+    Mirrors the reference DataLoader usage (src/train.py:469-472): when
+    the universe fits in one batch, a single (padded) batch; otherwise
+    shuffled batches, optionally dropping the last partial one.
+    """
+    ids = np.asarray(path_ids, np.int64)
+    if shuffle:
+        ids = ids[rng.permutation(len(ids))]
+    if len(ids) <= batch_size:
+        yield pad_batch(ids, batch_size)
+        return
+    n_full = len(ids) // batch_size
+    for i in range(n_full):
+        yield pad_batch(ids[i * batch_size: (i + 1) * batch_size], batch_size)
+    rem = ids[n_full * batch_size:]
+    if len(rem) and not drop_last:
+        yield pad_batch(rem, batch_size)
+
+
+def batch_count(num_ids: int, batch_size: int, drop_last: bool) -> int:
+    if num_ids <= batch_size:
+        return 1
+    n_full = num_ids // batch_size
+    rem = num_ids % batch_size
+    return n_full + (1 if rem and not drop_last else 0)
+
+
+class DesignCache:
+    """Packed-design cache: loads a design npz once per process and keeps
+    the device-resident DesignData (the reference re-loads the pickle from
+    disk every epoch, src/train.py:461-463)."""
+
+    def __init__(self, pack_fn):
+        self._pack = pack_fn
+        self._cache = {}
+
+    def get(self, key, loader):
+        if key not in self._cache:
+            parsed = loader()
+            self._cache[key] = (self._pack(parsed), parsed)
+        return self._cache[key]

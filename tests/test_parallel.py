@@ -1,0 +1,97 @@
+"""Multi-device tests on the 8-way virtual CPU mesh: the sharded-batch
+DP step and the explicit shard_map step must match the single-chip step."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from prtp_tpu.graph import pack_design
+from prtp_tpu.models import PathModel
+from prtp_tpu.parallel import (
+    make_dp_train_step,
+    make_mesh,
+    shard_batch,
+)
+from prtp_tpu.parallel.dp import make_shard_map_train_step
+from prtp_tpu.trainer import init_state, make_optimizer, make_train_step, pad_batch
+
+from test_models import _tiny_parsed_design
+
+
+@pytest.fixture(scope="module")
+def setup():
+    rng = np.random.default_rng(21)
+    parsed = _tiny_parsed_design(rng)
+    design = pack_design(parsed, map_size=16, align=8)
+    model = PathModel(out_dim=16, hidden_dim=32, cnn_outdim=8, map_size=16,
+                      global_dim=8)
+    tx = make_optimizer(1e-3)
+    state = init_state(model, tx, design, jax.random.PRNGKey(0))
+    n = design.num_paths
+    pad_to = ((n + 7) // 8) * 8
+    ids, mask = pad_batch(np.arange(n), pad_to)
+    return model, tx, state, design, ids, mask
+
+
+def test_mesh_has_8_devices():
+    mesh = make_mesh(8)
+    assert mesh.devices.size == 8
+
+
+def test_dp_step_matches_single_chip(setup):
+    model, tx, state, design, ids, mask = setup
+    mesh = make_mesh(8)
+
+    single = make_train_step(model, tx, donate=False)
+    s1, m1 = single(state, design, ids, mask)
+
+    dp = make_dp_train_step(model, tx, mesh, donate=False)
+    dids, dmask = shard_batch(mesh, ids, mask)
+    s2, m2 = dp(state, design, dids, dmask)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
+
+
+def test_shard_map_step_matches_single_chip(setup):
+    """Loss/metric trajectory equivalence over several steps.
+
+    (Param-level comparison after an Adam step is inherently brittle:
+    at step 1 the update is ±lr·sign(g), so fp-noise sign flips on
+    near-zero conv grads show up as 2·lr param diffs.)
+    """
+    model, tx, state, design, ids, mask = setup
+    mesh = make_mesh(8)
+
+    single = make_train_step(model, tx, donate=False)
+    smap = make_shard_map_train_step(model, tx, mesh)
+    dids, dmask = shard_batch(mesh, ids, mask)
+
+    s1, s3 = state, state
+    for step_i in range(3):
+        s1, m1 = single(s1, design, ids, mask)
+        s3, m3 = smap(s3, design, dids, dmask)
+        np.testing.assert_allclose(float(m1["loss"]), float(m3["loss"]),
+                                   rtol=1e-3, err_msg=f"step {step_i}")
+        np.testing.assert_allclose(float(m1["r2"]), float(m3["r2"]),
+                                   rtol=1e-2, atol=1e-4)
+        assert float(m1["tp"]) == float(m3["tp"])
+        assert float(m1["fn"]) == float(m3["fn"])
+
+
+def test_dp_multiple_steps_stay_replicated(setup):
+    model, tx, state, design, ids, mask = setup
+    mesh = make_mesh(8)
+    dp = make_dp_train_step(model, tx, mesh, donate=False)
+    dids, dmask = shard_batch(mesh, ids, mask)
+    s = state
+    losses = []
+    for _ in range(5):
+        s, m = dp(s, design, dids, dmask)
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0]
