@@ -42,6 +42,7 @@ class PathModel(nn.Module):
     nlabels: int = 1
     flag_attn: bool = False
     num_heads: int = 1
+    gnn_unroll: int | bool = 1
 
     def setup(self):
         assert self.use_gnn or self.use_cnn, \
@@ -52,6 +53,7 @@ class PathModel(nn.Module):
                 hidden_dim=self.hidden_dim,
                 flag_attn=self.flag_attn,
                 num_heads=self.num_heads,
+                unroll=self.gnn_unroll,
             )
         if self.use_cnn:
             self.cnn = (UNet(self.pooling) if self.unet

@@ -94,6 +94,7 @@ class TimeGNN(nn.Module):
     hidden_dim: int = 256
     flag_attn: bool = False
     num_heads: int = 1  # parity flag; single-head semantics (reference default)
+    unroll: int | bool = 1  # lax.scan unroll factor over level pairs
 
     @nn.compact
     def __call__(self, g: LeveledGraph, h0=None):
@@ -114,6 +115,7 @@ class TimeGNN(nn.Module):
             variable_broadcast="params",
             split_rngs={"params": False},
             in_axes=(nn.broadcast, 0),
+            unroll=self.unroll,
         )
         h, _ = scan(
             out_dim=self.out_dim,

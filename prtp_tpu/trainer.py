@@ -101,8 +101,8 @@ def _task_loss_and_metrics(task, preds, design, path_ids, mask):
                   "tn": tn, "fn": fn}
 
 
-def make_train_step(model, tx, task: str = "reg", donate: bool = True):
-    """Returns jitted step(state, design, path_ids, mask) -> (state, metrics)."""
+def make_raw_train_step(model, tx, task: str = "reg"):
+    """Unjitted step(state, design, path_ids, mask) -> (state, metrics)."""
 
     def step_fn(state: TrainState, design: DesignData, path_ids, mask):
         def loss_fn(params):
@@ -121,8 +121,40 @@ def make_train_step(model, tx, task: str = "reg", donate: bool = True):
             step=state.step + 1)
         return new_state, mets
 
+    return step_fn
+
+
+def make_train_step(model, tx, task: str = "reg", donate: bool = True):
+    """Returns jitted step(state, design, path_ids, mask) -> (state, metrics)."""
+    step_fn = make_raw_train_step(model, tx, task)
     donate_argnums = (0,) if donate else ()
     return jax.jit(step_fn, donate_argnums=donate_argnums)
+
+
+def make_multi_train_step(model, tx, n_steps: int, task: str = "reg",
+                          donate: bool = True):
+    """Rolls ``n_steps`` optimizer steps (same batch) into ONE device
+    dispatch via ``lax.fori_loop`` — amortizes host->device dispatch
+    latency; also the honest way to time the step on a remote-tunneled
+    chip. Returns jitted fn(state, design, path_ids, mask) ->
+    (state, last_metrics)."""
+    step_fn = make_raw_train_step(model, tx, task)
+
+    def multi(state: TrainState, design: DesignData, path_ids, mask):
+        _, mets0 = jax.eval_shape(step_fn, state, design, path_ids, mask)
+        zeros = jax.tree_util.tree_map(
+            lambda s: jnp.zeros(s.shape, s.dtype), mets0)
+
+        def body(_, carry):
+            st, _m = carry
+            st, mets = step_fn(st, design, path_ids, mask)
+            return st, mets
+
+        state, mets = jax.lax.fori_loop(0, n_steps, body, (state, zeros))
+        return state, mets
+
+    donate_argnums = (0,) if donate else ()
+    return jax.jit(multi, donate_argnums=donate_argnums)
 
 
 def make_eval_step(model, task: str = "reg"):
