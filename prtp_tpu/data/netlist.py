@@ -471,12 +471,11 @@ class NetlistBuilder:
             pre = nd
         return True, None
 
-    def _rasterize_masks(self, ept2path, timing_paths):
-        """Per-path bbox rasterization -> COO indices (reference
-        :1301-1369, masking='critical')."""
-        rows, cols = [], []
+    def _path_arcs(self, ept2path, timing_paths):
+        """Per-arc bbox bin pairs for every path, flattened with the
+        owning path id (non-decreasing)."""
+        ax1, ay1, ax2, ay2, apath = [], [], [], [], []
         for i, info in enumerate(timing_paths):
-            idxs = set()
             path = ept2path[info.end]
             for j in range(len(path) - 1):
                 dl = self.pin_loc_map.get(path[j])
@@ -485,11 +484,37 @@ class NetlistBuilder:
                 sl = self.pin_loc_map.get(path[j + 1])
                 sl = (self.pin_loc_map[f"{path[j + 1]}/{path[j + 1]}"][2:]
                       if sl is None else sl[2:])
-                x1, x2 = min(dl[0], sl[0]), max(dl[0], sl[0])
-                y1, y2 = min(dl[1], sl[1]), max(dl[1], sl[1])
-                for x in range(x1, x2 + 1):
-                    idxs.update(range(x * self.map_size + y1,
-                                      x * self.map_size + y2 + 1))
+                ax1.append(dl[0])
+                ay1.append(dl[1])
+                ax2.append(sl[0])
+                ay2.append(sl[1])
+                apath.append(i)
+        return (np.array(ax1, np.int32), np.array(ay1, np.int32),
+                np.array(ax2, np.int32), np.array(ay2, np.int32),
+                np.array(apath, np.int32))
+
+    def _rasterize_masks(self, ept2path, timing_paths):
+        """Per-path bbox rasterization -> COO indices (reference
+        :1301-1369, masking='critical'). Uses the native C++ rasterizer
+        when available (prtp_tpu/native/raster.cpp), with a pure-Python
+        fallback of identical semantics."""
+        ax1, ay1, ax2, ay2, apath = self._path_arcs(ept2path, timing_paths)
+        from ..native import rasterize_paths_native
+        coo = rasterize_paths_native(ax1, ay1, ax2, ay2, apath,
+                                     len(timing_paths), self.map_size)
+        if coo is not None:
+            return coo
+        rows, cols = [], []
+        for i in range(len(timing_paths)):
+            sel = apath == i
+            idxs = set()
+            for x1, y1, x2, y2 in zip(ax1[sel], ay1[sel],
+                                      ax2[sel], ay2[sel]):
+                xl, xh = min(x1, x2), max(x1, x2)
+                yl, yh = min(y1, y2), max(y1, y2)
+                for x in range(xl, xh + 1):
+                    idxs.update(range(x * self.map_size + yl,
+                                      x * self.map_size + yh + 1))
             rows.extend([i] * len(idxs))
             cols.extend(sorted(idxs))
         return np.array([rows, cols], dtype=np.int64)
