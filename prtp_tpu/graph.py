@@ -130,9 +130,15 @@ def build_level_tables(levels, edges_by_type, num_nodes, align=128):
             nodes[k, : len(lvl_nodes)] = lvl_nodes
             slot_of = {int(n): s for s, n in enumerate(lvl_nodes)}
             e_src, e_dst = per_level_edges.get(li, (np.zeros(0), np.zeros(0)))
-            srcs[k, : len(e_src)] = np.asarray(e_src, dtype=np.int32)
-            dsts[k, : len(e_dst)] = np.asarray(
-                [slot_of[int(d)] for d in e_dst], dtype=np.int32)
+            e_src = np.asarray(e_src, dtype=np.int32)
+            slot = np.asarray([slot_of[int(d)] for d in e_dst],
+                              dtype=np.int32)
+            # sort edges by destination slot: contiguous segments enable
+            # the fused Pallas streaming reduces and improve scatter
+            # locality for the XLA path (padding slots sort last)
+            order = np.argsort(slot, kind="stable")
+            srcs[k, : len(e_src)] = e_src[order]
+            dsts[k, : len(slot)] = slot[order]
         return nodes, srcs, dsts
 
     cn, cs, cd = half_tables(0, cell_edges)

@@ -43,6 +43,8 @@ class PathModel(nn.Module):
     flag_attn: bool = False
     num_heads: int = 1
     gnn_unroll: int | bool = 1
+    use_pallas: bool = False
+    pallas_interpret: bool = False
 
     def setup(self):
         assert self.use_gnn or self.use_cnn, \
@@ -54,6 +56,8 @@ class PathModel(nn.Module):
                 flag_attn=self.flag_attn,
                 num_heads=self.num_heads,
                 unroll=self.gnn_unroll,
+                use_pallas=self.use_pallas,
+                pallas_interpret=self.pallas_interpret,
             )
         if self.use_cnn:
             self.cnn = (UNet(self.pooling) if self.unet
@@ -98,6 +102,8 @@ class PathModel(nn.Module):
 
 def model_from_options(options):
     """Build a PathModel from the parity CLI options (src/train.py:34-81)."""
+    import jax
+    use_pallas = getattr(options, "pallas", False)
     return PathModel(
         use_gnn=not options.no_gnn,
         use_cnn=not options.no_cnn,
@@ -110,4 +116,6 @@ def model_from_options(options):
         nlabels=options.nlabels,
         flag_attn=options.attn,
         num_heads=options.num_heads,
+        use_pallas=use_pallas,
+        pallas_interpret=use_pallas and jax.default_backend() != "tpu",
     )

@@ -44,6 +44,8 @@ class _PairStep(nn.Module):
     out_dim: int
     hidden_dim: int = 256
     flag_attn: bool = False
+    use_pallas: bool = False
+    pallas_interpret: bool = False
 
     def setup(self):
         # widths mirror src/model.py:48-54 (256-wide single hidden layer)
@@ -52,6 +54,20 @@ class _PairStep(nn.Module):
         self.fc_net_self = MLP((self.hidden_dim, self.out_dim))
         if self.flag_attn:
             self.fc_attn2 = nn.Dense(1, use_bias=False)
+
+    def _softmax_reduce(self, msg, dst_slot, num_segments):
+        if self.use_pallas:
+            from ..ops.pallas_segment import segment_softmax_sum_pallas
+            return segment_softmax_sum_pallas(
+                msg, dst_slot, num_segments, self.pallas_interpret)
+        return segment_softmax_sum(msg, dst_slot, num_segments)
+
+    def _mean_reduce(self, msg, dst_slot, num_segments):
+        if self.use_pallas:
+            from ..ops.pallas_segment import segment_mean_pallas
+            return segment_mean_pallas(
+                msg, dst_slot, num_segments, self.pallas_interpret)
+        return segment_mean(msg, dst_slot, num_segments)
 
     def __call__(self, h, feats, xs):
         cell_feat, net_feat = feats
@@ -65,7 +81,7 @@ class _PairStep(nn.Module):
             neigh = segment_weighted_softmax_sum(
                 msg, scores, xs["cell_dst_slot"], pn_c + 1)[:pn_c]
         else:
-            neigh = segment_softmax_sum(
+            neigh = self._softmax_reduce(
                 msg, xs["cell_dst_slot"], pn_c + 1)[:pn_c]
         h_self = self.fc_cell_self(cell_feat[xs["cell_nodes"]])
         # level 0 drops the neighbor term (apply_cell_func_level0,
@@ -76,7 +92,8 @@ class _PairStep(nn.Module):
 
         # ---- net half (odd level) ----
         msg_n = h[xs["net_src"]]
-        neigh_n = segment_mean(msg_n, xs["net_dst_slot"], pn_n + 1)[:pn_n]
+        neigh_n = self._mean_reduce(
+            msg_n, xs["net_dst_slot"], pn_n + 1)[:pn_n]
         h_new_n = jax.nn.relu(
             self.fc_net_self(net_feat[xs["net_nodes"]]) + neigh_n)
         h = h.at[xs["net_nodes"]].set(h_new_n)
@@ -95,6 +112,8 @@ class TimeGNN(nn.Module):
     flag_attn: bool = False
     num_heads: int = 1  # parity flag; single-head semantics (reference default)
     unroll: int | bool = 1  # lax.scan unroll factor over level pairs
+    use_pallas: bool = False  # fused streaming segment reduces
+    pallas_interpret: bool = False  # interpreter mode (CPU testing)
 
     @nn.compact
     def __call__(self, g: LeveledGraph, h0=None):
@@ -121,6 +140,8 @@ class TimeGNN(nn.Module):
             out_dim=self.out_dim,
             hidden_dim=self.hidden_dim,
             flag_attn=self.flag_attn,
+            use_pallas=self.use_pallas,
+            pallas_interpret=self.pallas_interpret,
             name="pair_step",
         )(h, (g.cell_feat, g.net_feat), xs)
         return h
