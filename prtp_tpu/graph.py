@@ -78,7 +78,39 @@ class DesignData:
         return self.path_endpoint.shape[0]
 
 
-def build_level_tables(levels, edges_by_type, num_nodes, align=128):
+def bucket_shape(parsed_list, map_size=128, align=128):
+    """Common padded shapes covering every design in the list — used to
+    stack multiple designs into one batched DesignData."""
+    shapes = dict(num_nodes=0, num_pairs=0, pn_c=1, pe_c=1, pn_n=1, pe_n=1,
+                  num_paths=0)
+    for parsed in parsed_list:
+        n = int(parsed["num_nodes"])
+        levels = parsed["levels"]
+        n_levels = len(levels)
+        shapes["num_nodes"] = max(shapes["num_nodes"], n)
+        shapes["num_pairs"] = max(shapes["num_pairs"], (n_levels + 1) // 2)
+        shapes["num_paths"] = max(shapes["num_paths"],
+                                  int(parsed["num_paths"]))
+        node_level = np.full(n, -1, dtype=np.int64)
+        for li, lvl in enumerate(levels):
+            node_level[np.asarray(lvl[0], dtype=np.int64)] = li
+        for parity, etype, pn_key, pe_key in ((0, "cell_edges", "pn_c", "pe_c"),
+                                              (1, "net_edges", "pn_n", "pe_n")):
+            sizes = [len(levels[li][0])
+                     for li in range(parity, n_levels, 2)]
+            shapes[pn_key] = max(shapes[pn_key],
+                                 _round_up(max(sizes, default=1), align))
+            dst = np.asarray(parsed[etype][1], dtype=np.int64)
+            lev = node_level[dst]
+            counts = [int((lev == li).sum())
+                      for li in range(parity, n_levels, 2)]
+            shapes[pe_key] = max(shapes[pe_key],
+                                 _round_up(max(counts, default=1), align))
+    return shapes
+
+
+def build_level_tables(levels, edges_by_type, num_nodes, align=128,
+                       pad_to=None, pad_node=None):
     """Build padded per-pair numpy tables from host-side level lists.
 
     Args:
@@ -87,13 +119,20 @@ def build_level_tables(levels, edges_by_type, num_nodes, align=128):
         ``dgl_topo_levels`` (src/dataset.py:124-129).
       edges_by_type: {'cell': (src, dst), 'net': (src, dst)} numpy int
         arrays of the full edge lists.
-      num_nodes: N (dummy row is N).
+      num_nodes: N (dummy row is N unless ``pad_node`` overrides).
       align: pad node/edge table widths to this multiple (TPU lanes).
+      pad_to: optional dict from :func:`bucket_shape` fixing the table
+        shapes (multi-design stacking).
+      pad_node: dummy node index for padded slots (default num_nodes).
 
     Returns: dict of numpy arrays matching LeveledGraph's table fields.
     """
     n_levels = len(levels)
     n_pairs = (n_levels + 1) // 2
+    if pad_to is not None:
+        n_pairs = max(n_pairs, pad_to["num_pairs"])
+    if pad_node is None:
+        pad_node = num_nodes
 
     # node -> level lookup
     node_level = np.full(num_nodes, -1, dtype=np.int64)
@@ -122,8 +161,11 @@ def build_level_tables(levels, edges_by_type, num_nodes, align=128):
                        align)
         pe = _round_up(max((len(per_level_edges.get(li, ((), ()))[0])
                             for li in lvl_ids), default=1), align)
-        nodes = np.full((n_pairs, pn), num_nodes, dtype=np.int32)
-        srcs = np.full((n_pairs, pe), num_nodes, dtype=np.int32)
+        if pad_to is not None:
+            pn = max(pn, pad_to["pn_c" if parity == 0 else "pn_n"])
+            pe = max(pe, pad_to["pe_c" if parity == 0 else "pe_n"])
+        nodes = np.full((n_pairs, pn), pad_node, dtype=np.int32)
+        srcs = np.full((n_pairs, pe), pad_node, dtype=np.int32)
         dsts = np.full((n_pairs, pe), pn, dtype=np.int32)
         for k, li in enumerate(lvl_ids):
             lvl_nodes = np.asarray(levels[li][0], dtype=np.int32)
@@ -149,12 +191,16 @@ def build_level_tables(levels, edges_by_type, num_nodes, align=128):
     }
 
 
-def _with_dummy_row(feat, dtype=np.float32):
+def _pad_rows(feat, n_rows, dtype=np.float32):
+    """Pad a (N, ...) array with zero rows up to n_rows."""
     feat = np.asarray(feat, dtype=dtype)
-    return np.concatenate([feat, np.zeros((1,) + feat.shape[1:], dtype=dtype)])
+    extra = n_rows - feat.shape[0]
+    return np.concatenate(
+        [feat, np.zeros((extra,) + feat.shape[1:], dtype=dtype)])
 
 
-def pack_design(parsed, map_size=128, align=128, compute_dtype=jnp.float32):
+def pack_design(parsed, map_size=128, align=128, compute_dtype=jnp.float32,
+                pad_to=None):
     """Pack a host-side parsed design (dict of numpy arrays) into DesignData.
 
     ``parsed`` keys (see prtp_tpu.data.dataset.ParsedDesign):
@@ -163,38 +209,63 @@ def pack_design(parsed, map_size=128, align=128, compute_dtype=jnp.float32):
       required_time (N,), is_critical (N,), path_endpoint (num_paths,),
       path_level (num_paths,), mask_coo (2, nnz), num_paths,
       cnn_input (C,H,W).
+
+    ``pad_to`` (from :func:`bucket_shape`) pads every dimension to a
+    common bucket so multiple designs can be stacked (multi-design
+    batching / design-axis data parallelism); the dummy node row then
+    sits at ``pad_to['num_nodes']``.
     """
     n = int(parsed["num_nodes"])
+    n_pad = n if pad_to is None else max(n, pad_to["num_nodes"])
     tables = build_level_tables(
         parsed["levels"],
         {"cell": tuple(parsed["cell_edges"]), "net": tuple(parsed["net_edges"])},
-        n, align=align,
+        n, align=align, pad_to=pad_to, pad_node=n_pad,
     )
     graph = LeveledGraph(
-        cell_feat=jnp.asarray(_with_dummy_row(parsed["cell_feat"]),
+        cell_feat=jnp.asarray(_pad_rows(parsed["cell_feat"], n_pad + 1),
                               dtype=compute_dtype),
-        net_feat=jnp.asarray(_with_dummy_row(parsed["net_feat"]),
+        net_feat=jnp.asarray(_pad_rows(parsed["net_feat"], n_pad + 1),
                              dtype=compute_dtype),
         **{k: jnp.asarray(v) for k, v in tables.items()},
     )
     num_paths = int(parsed["num_paths"])
-    masks = np.zeros((num_paths, map_size * map_size), dtype=np.uint8)
+    p_pad = num_paths if pad_to is None else max(num_paths,
+                                                 pad_to["num_paths"])
+    masks = np.zeros((p_pad, map_size * map_size), dtype=np.uint8)
     coo = np.asarray(parsed["mask_coo"], dtype=np.int64)
     if coo.size:
         masks[coo[0], coo[1]] = 1
+    path_endpoint = np.full(p_pad, n_pad, dtype=np.int32)  # pad -> dummy
+    path_endpoint[:num_paths] = parsed["path_endpoint"]
+    path_level = np.zeros(p_pad, dtype=np.float32)
+    path_level[:num_paths] = parsed["path_level"]
     cnn_input = np.asarray(parsed["cnn_input"], dtype=np.float32)
     cnn_nhwc = np.transpose(cnn_input, (1, 2, 0))[None]  # (1, H, W, C)
     return DesignData(
         graph=graph,
-        arrival_time=jnp.asarray(
-            _with_dummy_row(parsed["arrival_time"].reshape(-1, 1)).reshape(-1)),
-        required_time=jnp.asarray(
-            _with_dummy_row(parsed["required_time"].reshape(-1, 1)).reshape(-1)),
-        is_critical=jnp.asarray(
-            _with_dummy_row(parsed["is_critical"].reshape(-1, 1),
-                            dtype=np.int32).reshape(-1)),
-        path_endpoint=jnp.asarray(parsed["path_endpoint"], dtype=jnp.int32),
-        path_level=jnp.asarray(parsed["path_level"], dtype=jnp.float32),
+        arrival_time=jnp.asarray(_pad_rows(
+            parsed["arrival_time"].reshape(-1, 1), n_pad + 1).reshape(-1)),
+        required_time=jnp.asarray(_pad_rows(
+            parsed["required_time"].reshape(-1, 1), n_pad + 1).reshape(-1)),
+        is_critical=jnp.asarray(_pad_rows(
+            parsed["is_critical"].reshape(-1, 1), n_pad + 1,
+            dtype=np.int32).reshape(-1)),
+        path_endpoint=jnp.asarray(path_endpoint),
+        path_level=jnp.asarray(path_level),
         path_masks=jnp.asarray(masks),
         cnn_input=jnp.asarray(cnn_nhwc, dtype=compute_dtype),
     )
+
+
+def stack_designs(designs):
+    """Stack same-bucket DesignData pytrees along a new leading axis.
+
+    Every design must have been packed with the same ``pad_to`` bucket
+    (and the same CNN raster shape). The result feeds vmapped /
+    design-sharded training (prtp_tpu.parallel.multi).
+    """
+    import jax
+    shapes = {jax.tree_util.tree_structure(d) for d in designs}
+    assert len(shapes) == 1, "designs must share a treedef"
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *designs)

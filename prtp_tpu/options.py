@@ -108,6 +108,11 @@ def get_options(args=None):
                      help="optional hard cap on optimizer steps (smoke tests)")
     tpu.add_argument("--val_interval", type=int, default=50,
                      help="validate every N batches (reference: 50, src/train.py:566)")
+    tpu.add_argument("--debug_nans", action="store_true",
+                     help="raise on NaN/Inf in any computation (analogue of "
+                          "the reference's set_detect_anomaly, src/train.py:452)")
+    tpu.add_argument("--profile_dir", type=str, default=None,
+                     help="write a jax.profiler trace of the train loop here")
 
     options = parser.parse_args(args)
     return options

@@ -198,13 +198,20 @@ def main(argv=None):
     random.seed(seed)
     np.random.seed(seed)
     os.makedirs(options.model_saving_dir, exist_ok=True)
+    if options.debug_nans:
+        # analogue of th.autograd.set_detect_anomaly(True) (src/train.py:452)
+        jax.config.update("jax_debug_nans", True)
     if options.preprocess:
         from .data import generate
         generate.main(argv)
     stdout_f = os.path.join(options.model_saving_dir, "stdout.log")
     stderr_f = os.path.join(options.model_saving_dir, "stderr.log")
     with StdoutTee(stdout_f), StderrTee(stderr_f):
-        train(options, seed)
+        if options.profile_dir:
+            with jax.profiler.trace(options.profile_dir):
+                train(options, seed)
+        else:
+            train(options, seed)
 
 
 if __name__ == "__main__":
