@@ -9,9 +9,18 @@ pins, aggregated over ``net`` edges) — see ``src/model.py:180-204``.  We
 exploit that static schedule: levels are packed into **pairs**
 (cell-level 2k, net-level 2k+1) of padded index tables with one shared
 shape per edge type, so the whole propagation is a single
-``jax.lax.scan`` with no data-dependent control flow.  Padded node slots
-point at a dummy node row ``N``; padded edges point at a dummy segment
-slot, so padding never contaminates real state.
+``jax.lax.scan`` with no data-dependent control flow.
+
+Node-state layout (v2, scatter-free writes): nodes are *renumbered
+level-contiguously* — pair k's cell slots occupy state rows
+``[k*(Pn_c+Pn_n), k*(Pn_c+Pn_n)+Pn_c)`` and its net slots the following
+``Pn_n`` rows. Each level's update is then one
+``lax.dynamic_update_slice`` instead of a row scatter (TPU scatters are
+the measured bottleneck), per-level features ride the scan as
+contiguous blocks (no feature gathers), net in-degree counts are
+precomputed (mean needs a single segment-sum), and edges are sorted by
+destination slot. Only the message gather ``h[src]`` and the segment
+reductions remain irregular.
 
 Each node belongs to exactly one level (reverse de-dup,
 ``src/verilog_parser_asap7.py:1492-1511``) and is therefore written
@@ -34,41 +43,63 @@ def _round_up(x: int, m: int) -> int:
 
 @struct.dataclass
 class LeveledGraph:
-    """Padded per-level-pair index tables + node features.
+    """Padded per-level-pair tables + per-level feature blocks.
 
-    Shapes (all static): N+1 node rows (row N is the zero dummy),
-    P level-pairs, Pn_c/Pe_c cell-side paddings, Pn_n/Pe_n net-side.
+    Shapes (static): P level-pairs; Pn_c/Pe_c cell-side paddings,
+    Pn_n/Pe_n net-side. The node-state array has
+    ``num_rows + 1 = P*(Pn_c+Pn_n) + 1`` rows (last row = gather dummy
+    for padded edge sources).
     """
 
-    cell_feat: jnp.ndarray  # (N+1, Fc) float
-    net_feat: jnp.ndarray   # (N+1, Fn) float
+    # per-level feature blocks (scan xs — no gathers needed)
+    cell_feat_lvl: jnp.ndarray  # (P, Pn_c, Fc) float
+    net_feat_lvl: jnp.ndarray   # (P, Pn_n, Fn) float
     # cell half of each pair (levels 0, 2, 4, ...):
-    cell_nodes: jnp.ndarray     # (P, Pn_c) int32, pad = N
-    cell_src: jnp.ndarray       # (P, Pe_c) int32, pad = N
-    cell_dst_slot: jnp.ndarray  # (P, Pe_c) int32, pad = Pn_c
+    cell_src: jnp.ndarray       # (P, Pe_c) int32 state-row ids, pad=num_rows
+    cell_dst_slot: jnp.ndarray  # (P, Pe_c) int32 in [0, Pn_c], pad = Pn_c
     # net half of each pair (levels 1, 3, 5, ...):
-    net_nodes: jnp.ndarray      # (P, Pn_n) int32, pad = N
-    net_src: jnp.ndarray        # (P, Pe_n) int32, pad = N
-    net_dst_slot: jnp.ndarray   # (P, Pe_n) int32, pad = Pn_n
-
-    @property
-    def num_nodes(self) -> int:
-        return self.cell_feat.shape[0] - 1
+    net_src: jnp.ndarray        # (P, Pe_n) int32, pad = num_rows
+    net_dst_slot: jnp.ndarray   # (P, Pe_n) int32 in [0, Pn_n], pad = Pn_n
+    net_cnt: jnp.ndarray        # (P, Pn_n) float in-degree counts (>=1)
+    # dense mailbox tables (scatter-free reduce path): per destination
+    # slot, its padded list of source state rows (pad = num_rows).
+    # Viable because cell in-degree <= the cell's fanin count (~5) and
+    # net in-degree is ~1 (one driver per net).
+    cell_mail: jnp.ndarray      # (P, Pn_c, md_c) int32, pad = num_rows
+    net_mail: jnp.ndarray       # (P, Pn_n, md_n) int32, pad = num_rows
+    # transpose tables for the mailbox-gather backward (sorted by src):
+    cell_rev_pos: jnp.ndarray   # (P, Pe_c) int32 flat (Pn_c*md_c) positions
+    cell_rev_rows: jnp.ndarray  # (P, Pe_c) int32 src rows asc, pad=num_rows
+    net_rev_pos: jnp.ndarray    # (P, Pe_n) int32
+    net_rev_rows: jnp.ndarray   # (P, Pe_n) int32
 
     @property
     def num_pairs(self) -> int:
-        return self.cell_nodes.shape[0]
+        return self.cell_feat_lvl.shape[0]
+
+    @property
+    def pn_c(self) -> int:
+        return self.cell_feat_lvl.shape[1]
+
+    @property
+    def pn_n(self) -> int:
+        return self.net_feat_lvl.shape[1]
+
+    @property
+    def num_rows(self) -> int:
+        return self.num_pairs * (self.pn_c + self.pn_n)
 
 
 @struct.dataclass
 class DesignData:
-    """One design, fully device-resident."""
+    """One design, fully device-resident. Node-indexed arrays use the
+    level-contiguous state-row numbering of :class:`LeveledGraph`."""
 
     graph: LeveledGraph
-    arrival_time: jnp.ndarray    # (N+1,) float
-    required_time: jnp.ndarray   # (N+1,) float
-    is_critical: jnp.ndarray     # (N+1,) int32
-    path_endpoint: jnp.ndarray   # (num_paths,) int32 node id
+    arrival_time: jnp.ndarray    # (num_rows+1,) float
+    required_time: jnp.ndarray   # (num_rows+1,) float
+    is_critical: jnp.ndarray     # (num_rows+1,) int32
+    path_endpoint: jnp.ndarray   # (num_paths,) int32 state row of endpoint
     path_level: jnp.ndarray      # (num_paths,) float32 topo level of path
     path_masks: jnp.ndarray      # (num_paths, map_size^2) uint8
     cnn_input: jnp.ndarray       # (1, H, W, C) float — NHWC, TPU layout
@@ -81,21 +112,21 @@ class DesignData:
 def bucket_shape(parsed_list, map_size=128, align=128):
     """Common padded shapes covering every design in the list — used to
     stack multiple designs into one batched DesignData."""
-    shapes = dict(num_nodes=0, num_pairs=0, pn_c=1, pe_c=1, pn_n=1, pe_n=1,
-                  num_paths=0)
+    shapes = dict(num_pairs=0, pn_c=1, pe_c=1, pn_n=1, pe_n=1, num_paths=0,
+                  md_c=1, md_n=1)
     for parsed in parsed_list:
         n = int(parsed["num_nodes"])
         levels = parsed["levels"]
         n_levels = len(levels)
-        shapes["num_nodes"] = max(shapes["num_nodes"], n)
         shapes["num_pairs"] = max(shapes["num_pairs"], (n_levels + 1) // 2)
         shapes["num_paths"] = max(shapes["num_paths"],
                                   int(parsed["num_paths"]))
         node_level = np.full(n, -1, dtype=np.int64)
         for li, lvl in enumerate(levels):
             node_level[np.asarray(lvl[0], dtype=np.int64)] = li
-        for parity, etype, pn_key, pe_key in ((0, "cell_edges", "pn_c", "pe_c"),
-                                              (1, "net_edges", "pn_n", "pe_n")):
+        for parity, etype, pn_key, pe_key, md_key in (
+                (0, "cell_edges", "pn_c", "pe_c", "md_c"),
+                (1, "net_edges", "pn_n", "pe_n", "md_n")):
             sizes = [len(levels[li][0])
                      for li in range(parity, n_levels, 2)]
             shapes[pn_key] = max(shapes[pn_key],
@@ -106,97 +137,144 @@ def bucket_shape(parsed_list, map_size=128, align=128):
                       for li in range(parity, n_levels, 2)]
             shapes[pe_key] = max(shapes[pe_key],
                                  _round_up(max(counts, default=1), align))
+            if len(dst):
+                _, deg = np.unique(dst, return_counts=True)
+                shapes[md_key] = max(shapes[md_key], int(deg.max()))
     return shapes
 
 
-def build_level_tables(levels, edges_by_type, num_nodes, align=128,
-                       pad_to=None, pad_node=None):
-    """Build padded per-pair numpy tables from host-side level lists.
-
-    Args:
-      levels: list of (node_ids, target_ids, path_ids) numpy int arrays,
-        alternating cell (even) / net (odd) levels — the reference's
-        ``dgl_topo_levels`` (src/dataset.py:124-129).
-      edges_by_type: {'cell': (src, dst), 'net': (src, dst)} numpy int
-        arrays of the full edge lists.
-      num_nodes: N (dummy row is N unless ``pad_node`` overrides).
-      align: pad node/edge table widths to this multiple (TPU lanes).
-      pad_to: optional dict from :func:`bucket_shape` fixing the table
-        shapes (multi-design stacking).
-      pad_node: dummy node index for padded slots (default num_nodes).
-
-    Returns: dict of numpy arrays matching LeveledGraph's table fields.
-    """
+def _level_layout(levels, num_nodes, align, pad_to):
+    """Compute padded table shapes + the old-id -> state-row permutation."""
     n_levels = len(levels)
     n_pairs = (n_levels + 1) // 2
+    pn = {}
+    for parity, key in ((0, "pn_c"), (1, "pn_n")):
+        sizes = [len(levels[li][0]) for li in range(parity, n_levels, 2)]
+        pn[key] = _round_up(max(sizes, default=1), align)
     if pad_to is not None:
         n_pairs = max(n_pairs, pad_to["num_pairs"])
-    if pad_node is None:
-        pad_node = num_nodes
-
-    # node -> level lookup
+        pn["pn_c"] = max(pn["pn_c"], pad_to["pn_c"])
+        pn["pn_n"] = max(pn["pn_n"], pad_to["pn_n"])
+    stride = pn["pn_c"] + pn["pn_n"]
+    num_rows = n_pairs * stride
+    node_row = np.full(num_nodes, num_rows, dtype=np.int64)
     node_level = np.full(num_nodes, -1, dtype=np.int64)
     for li, lvl in enumerate(levels):
-        node_level[np.asarray(lvl[0], dtype=np.int64)] = li
+        ids = np.asarray(lvl[0], dtype=np.int64)
+        pair, parity = divmod(li, 2)
+        base = pair * stride + (0 if parity == 0 else pn["pn_c"])
+        node_row[ids] = base + np.arange(len(ids))
+        node_level[ids] = li
+    return n_pairs, pn["pn_c"], pn["pn_n"], stride, num_rows, \
+        node_row, node_level
 
-    # group in-edges by destination level, per edge type
-    def edges_for(parity, etype):
-        src, dst = edges_by_type[etype]
-        src = np.asarray(src, dtype=np.int64)
-        dst = np.asarray(dst, dtype=np.int64)
+
+def pack_leveled_graph(parsed, align=128, pad_to=None,
+                       compute_dtype=jnp.float32):
+    """Build the LeveledGraph (+ node_row permutation) from a parsed
+    design dict. Returns (graph, node_row, num_rows)."""
+    levels = parsed["levels"]
+    n = int(parsed["num_nodes"])
+    (n_pairs, pn_c, pn_n, stride, num_rows,
+     node_row, node_level) = _level_layout(levels, n, align, pad_to)
+
+    fc = parsed["cell_feat"].shape[1]
+    fn = parsed["net_feat"].shape[1]
+    cell_feat_lvl = np.zeros((n_pairs, pn_c, fc), np.float32)
+    net_feat_lvl = np.zeros((n_pairs, pn_n, fn), np.float32)
+    for li, lvl in enumerate(levels):
+        ids = np.asarray(lvl[0], dtype=np.int64)
+        pair, parity = divmod(li, 2)
+        if parity == 0:
+            cell_feat_lvl[pair, : len(ids)] = parsed["cell_feat"][ids]
+        else:
+            net_feat_lvl[pair, : len(ids)] = parsed["net_feat"][ids]
+
+    def edge_tables(parity, edges, pn, pe_key, md_key):
+        src, dst = (np.asarray(edges[0], np.int64),
+                    np.asarray(edges[1], np.int64))
         lev = node_level[dst]
-        per_level = {}
-        sel_all = (lev >= 0) & (lev % 2 == parity)
-        for li in np.unique(lev[sel_all]):
+        pe = 1
+        md = 4
+        groups = {}
+        for li in range(parity, len(levels), 2):
             sel = lev == li
-            per_level[int(li)] = (src[sel], dst[sel])
-        return per_level
-
-    cell_edges = edges_for(0, "cell")
-    net_edges = edges_for(1, "net")
-
-    def half_tables(parity, per_level_edges):
-        lvl_ids = list(range(parity, n_levels, 2))
-        pn = _round_up(max((len(levels[li][0]) for li in lvl_ids), default=1),
-                       align)
-        pe = _round_up(max((len(per_level_edges.get(li, ((), ()))[0])
-                            for li in lvl_ids), default=1), align)
+            cnt = int(sel.sum())
+            pe = max(pe, cnt)
+            groups[li] = sel
+        md = 1
+        if len(dst):
+            _, deg = np.unique(dst, return_counts=True)
+            md = max(md, int(deg.max()))
+        pe = _round_up(pe, align)
         if pad_to is not None:
-            pn = max(pn, pad_to["pn_c" if parity == 0 else "pn_n"])
-            pe = max(pe, pad_to["pe_c" if parity == 0 else "pe_n"])
-        nodes = np.full((n_pairs, pn), pad_node, dtype=np.int32)
-        srcs = np.full((n_pairs, pe), pad_node, dtype=np.int32)
+            pe = max(pe, pad_to[pe_key])
+            md = max(md, pad_to[md_key])
+        srcs = np.full((n_pairs, pe), num_rows, dtype=np.int32)
         dsts = np.full((n_pairs, pe), pn, dtype=np.int32)
-        for k, li in enumerate(lvl_ids):
-            lvl_nodes = np.asarray(levels[li][0], dtype=np.int32)
-            nodes[k, : len(lvl_nodes)] = lvl_nodes
-            slot_of = {int(n): s for s, n in enumerate(lvl_nodes)}
-            e_src, e_dst = per_level_edges.get(li, (np.zeros(0), np.zeros(0)))
-            e_src = np.asarray(e_src, dtype=np.int32)
-            slot = np.asarray([slot_of[int(d)] for d in e_dst],
-                              dtype=np.int32)
-            # sort edges by destination slot: contiguous segments enable
-            # the fused Pallas streaming reduces and improve scatter
-            # locality for the XLA path (padding slots sort last)
+        mail = np.full((n_pairs, pn, md), num_rows, dtype=np.int32)
+        rev_pos = np.zeros((n_pairs, pe), dtype=np.int32)
+        rev_rows = np.full((n_pairs, pe), num_rows, dtype=np.int32)
+        for li, sel in groups.items():
+            pair = li // 2
+            e_src = node_row[src[sel]]
+            base = (pair * stride + (0 if parity == 0 else pn_c))
+            slot = node_row[dst[sel]] - base
+            # sort by destination slot: contiguous segments for fused
+            # kernels + scatter locality
             order = np.argsort(slot, kind="stable")
-            srcs[k, : len(e_src)] = e_src[order]
-            dsts[k, : len(slot)] = slot[order]
-        return nodes, srcs, dsts
+            e_src = e_src[order].astype(np.int32)
+            slot = slot[order].astype(np.int32)
+            srcs[pair, : len(e_src)] = e_src
+            dsts[pair, : len(slot)] = slot
+            # dense mailbox: position within the (sorted) segment
+            pos = np.arange(len(slot)) - np.searchsorted(slot, slot)
+            mail[pair, slot, pos] = e_src
+            # transpose tables for the mailbox backward: real-edge flat
+            # positions sorted by source row (ascending)
+            flat = (slot.astype(np.int64) * md + pos).astype(np.int32)
+            order2 = np.argsort(e_src, kind="stable")
+            rev_pos[pair, : len(flat)] = flat[order2]
+            rev_rows[pair, : len(flat)] = e_src[order2]
+        return srcs, dsts, mail, rev_pos, rev_rows
 
-    cn, cs, cd = half_tables(0, cell_edges)
-    nn_, ns, nd = half_tables(1, net_edges)
-    return {
-        "cell_nodes": cn, "cell_src": cs, "cell_dst_slot": cd,
-        "net_nodes": nn_, "net_src": ns, "net_dst_slot": nd,
-    }
+    (cell_src, cell_dst, cell_mail,
+     cell_rev_pos, cell_rev_rows) = edge_tables(
+        0, parsed["cell_edges"], pn_c, "pe_c", "md_c")
+    (net_src, net_dst, net_mail,
+     net_rev_pos, net_rev_rows) = edge_tables(
+        1, parsed["net_edges"], pn_n, "pe_n", "md_n")
+
+    # precomputed net in-degree counts per slot (>=1 to avoid div0)
+    net_cnt = np.zeros((n_pairs, pn_n + 1), np.float32)
+    for pair in range(n_pairs):
+        np.add.at(net_cnt[pair], net_dst[pair], 1.0)
+    net_cnt = np.maximum(net_cnt[:, :pn_n], 1.0)
+
+    graph = LeveledGraph(
+        cell_feat_lvl=jnp.asarray(cell_feat_lvl, dtype=compute_dtype),
+        net_feat_lvl=jnp.asarray(net_feat_lvl, dtype=compute_dtype),
+        cell_src=jnp.asarray(cell_src),
+        cell_dst_slot=jnp.asarray(cell_dst),
+        net_src=jnp.asarray(net_src),
+        net_dst_slot=jnp.asarray(net_dst),
+        net_cnt=jnp.asarray(net_cnt),
+        cell_mail=jnp.asarray(cell_mail),
+        net_mail=jnp.asarray(net_mail),
+        cell_rev_pos=jnp.asarray(cell_rev_pos),
+        cell_rev_rows=jnp.asarray(cell_rev_rows),
+        net_rev_pos=jnp.asarray(net_rev_pos),
+        net_rev_rows=jnp.asarray(net_rev_rows),
+    )
+    return graph, node_row, num_rows
 
 
-def _pad_rows(feat, n_rows, dtype=np.float32):
-    """Pad a (N, ...) array with zero rows up to n_rows."""
-    feat = np.asarray(feat, dtype=dtype)
-    extra = n_rows - feat.shape[0]
-    return np.concatenate(
-        [feat, np.zeros((extra,) + feat.shape[1:], dtype=dtype)])
+def _remap_rows(values, node_row, num_rows, dtype=np.float32):
+    """Old node-id array -> state-row array (padded rows zero)."""
+    values = np.asarray(values, dtype=dtype)
+    out = np.zeros((num_rows + 1,) + values.shape[1:], dtype=dtype)
+    out[node_row[node_row < num_rows]] = values[node_row < num_rows]
+    return out
 
 
 def pack_design(parsed, map_size=128, align=128, compute_dtype=jnp.float32,
@@ -212,23 +290,18 @@ def pack_design(parsed, map_size=128, align=128, compute_dtype=jnp.float32,
 
     ``pad_to`` (from :func:`bucket_shape`) pads every dimension to a
     common bucket so multiple designs can be stacked (multi-design
-    batching / design-axis data parallelism); the dummy node row then
-    sits at ``pad_to['num_nodes']``.
+    batching / design-axis data parallelism).
     """
-    n = int(parsed["num_nodes"])
-    n_pad = n if pad_to is None else max(n, pad_to["num_nodes"])
-    tables = build_level_tables(
-        parsed["levels"],
-        {"cell": tuple(parsed["cell_edges"]), "net": tuple(parsed["net_edges"])},
-        n, align=align, pad_to=pad_to, pad_node=n_pad,
-    )
-    graph = LeveledGraph(
-        cell_feat=jnp.asarray(_pad_rows(parsed["cell_feat"], n_pad + 1),
-                              dtype=compute_dtype),
-        net_feat=jnp.asarray(_pad_rows(parsed["net_feat"], n_pad + 1),
-                             dtype=compute_dtype),
-        **{k: jnp.asarray(v) for k, v in tables.items()},
-    )
+    graph, node_row, num_rows = pack_leveled_graph(
+        parsed, align=align, pad_to=pad_to, compute_dtype=compute_dtype)
+
+    def remap(key, dtype=np.float32):
+        vals = np.asarray(parsed[key], dtype=dtype).reshape(-1)
+        out = np.zeros(num_rows + 1, dtype=dtype)
+        valid = node_row < num_rows
+        out[node_row[valid]] = vals[: len(node_row)][valid]
+        return out
+
     num_paths = int(parsed["num_paths"])
     p_pad = num_paths if pad_to is None else max(num_paths,
                                                  pad_to["num_paths"])
@@ -236,21 +309,18 @@ def pack_design(parsed, map_size=128, align=128, compute_dtype=jnp.float32,
     coo = np.asarray(parsed["mask_coo"], dtype=np.int64)
     if coo.size:
         masks[coo[0], coo[1]] = 1
-    path_endpoint = np.full(p_pad, n_pad, dtype=np.int32)  # pad -> dummy
-    path_endpoint[:num_paths] = parsed["path_endpoint"]
+    path_endpoint = np.full(p_pad, num_rows, dtype=np.int32)  # pad -> dummy
+    path_endpoint[:num_paths] = node_row[
+        np.asarray(parsed["path_endpoint"], np.int64)]
     path_level = np.zeros(p_pad, dtype=np.float32)
     path_level[:num_paths] = parsed["path_level"]
     cnn_input = np.asarray(parsed["cnn_input"], dtype=np.float32)
     cnn_nhwc = np.transpose(cnn_input, (1, 2, 0))[None]  # (1, H, W, C)
     return DesignData(
         graph=graph,
-        arrival_time=jnp.asarray(_pad_rows(
-            parsed["arrival_time"].reshape(-1, 1), n_pad + 1).reshape(-1)),
-        required_time=jnp.asarray(_pad_rows(
-            parsed["required_time"].reshape(-1, 1), n_pad + 1).reshape(-1)),
-        is_critical=jnp.asarray(_pad_rows(
-            parsed["is_critical"].reshape(-1, 1), n_pad + 1,
-            dtype=np.int32).reshape(-1)),
+        arrival_time=jnp.asarray(remap("arrival_time")),
+        required_time=jnp.asarray(remap("required_time")),
+        is_critical=jnp.asarray(remap("is_critical", np.int32)),
         path_endpoint=jnp.asarray(path_endpoint),
         path_level=jnp.asarray(path_level),
         path_masks=jnp.asarray(masks),

@@ -43,7 +43,7 @@ class PathModel(nn.Module):
     flag_attn: bool = False
     num_heads: int = 1
     gnn_unroll: int | bool = 1
-    use_pallas: bool = False
+    gnn_reduce: str = "mailbox"  # 'mailbox' | 'segment' | 'pallas'
     pallas_interpret: bool = False
 
     def setup(self):
@@ -56,7 +56,7 @@ class PathModel(nn.Module):
                 flag_attn=self.flag_attn,
                 num_heads=self.num_heads,
                 unroll=self.gnn_unroll,
-                use_pallas=self.use_pallas,
+                reduce_mode=self.gnn_reduce,
                 pallas_interpret=self.pallas_interpret,
             )
         if self.use_cnn:
@@ -104,7 +104,10 @@ def model_from_options(options):
     """Build a PathModel from the parity CLI options (src/train.py:34-81)."""
     import jax
     use_pallas = getattr(options, "pallas", False)
+    unroll = getattr(options, "gnn_unroll", 1)
+    unroll = True if unroll == 0 else unroll
     return PathModel(
+        gnn_unroll=unroll,
         use_gnn=not options.no_gnn,
         use_cnn=not options.no_cnn,
         unet=options.unet,
@@ -116,6 +119,6 @@ def model_from_options(options):
         nlabels=options.nlabels,
         flag_attn=options.attn,
         num_heads=options.num_heads,
-        use_pallas=use_pallas,
+        gnn_reduce="pallas" if use_pallas else "mailbox",
         pallas_interpret=use_pallas and jax.default_backend() != "tpu",
     )

@@ -12,9 +12,16 @@ TPU re-design: instead of a Python loop of ``graph.pull`` calls mutating
 ``ndata['h']`` in place, the propagation is one ``nn.scan`` over
 level *pairs* (cell half then net half — the schedule is static because
 pin-DAG levels alternate strictly), carrying the node-state matrix
-``h`` of shape ``(N+1, out_dim)``. Each half-step is
-gather(h[src]) -> segment-reduce -> dense MLPs -> scatter, all with
-static padded shapes so XLA compiles a single fused loop body.
+``h`` of shape ``(num_rows+1, out_dim)`` in the level-contiguous layout
+of :class:`prtp_tpu.graph.LeveledGraph`. Per half-step:
+
+  gather h[src] -> segment-reduce -> dense MLPs on the level's feature
+  block -> ``lax.dynamic_update_slice`` into the level's contiguous rows
+
+Measured on TPU v5e, row *scatters* dominated the v1 design; v2 removes
+them entirely (contiguous writes), ships per-level features as scan
+blocks (no feature gathers), precomputes net in-degree counts (mean =
+one segment-sum), and fuses the two softmax segment-sums into one.
 
 Deliberate deviations from the reference (documented in MODEL_NOTES.md):
 ``fc_net_drive`` (declared but unused in the reference forward,
@@ -30,21 +37,33 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from ..graph import LeveledGraph
+from ..ops.mailbox import mailbox_gather
 from ..ops.segment import (
-    segment_mean,
-    segment_softmax_sum,
+    segment_softmax_sum_fused,
+    segment_sum,
     segment_weighted_softmax_sum,
 )
 from .mlp import MLP
 
 
 class _PairStep(nn.Module):
-    """One (cell level, net level) pair of the level scan."""
+    """One (cell level, net level) pair of the level scan.
+
+    ``reduce_mode``:
+      - 'mailbox' (default): dense (Pn, max_deg, D) mailbox gather +
+        masked elementwise softmax/mean — zero scatters in the forward
+        (cell in-degree <= cell fanin; net in-degree ~1).
+      - 'segment': XLA segment reductions over the flat edge tables
+        (used by the edge-parallel 'gp' sharding, which partitions the
+        edge axis).
+      - 'pallas': fused streaming Pallas kernels over the sorted edges.
+    """
 
     out_dim: int
+    num_rows: int
     hidden_dim: int = 256
     flag_attn: bool = False
-    use_pallas: bool = False
+    reduce_mode: str = "mailbox"
     pallas_interpret: bool = False
 
     def setup(self):
@@ -56,92 +75,140 @@ class _PairStep(nn.Module):
             self.fc_attn2 = nn.Dense(1, use_bias=False)
 
     def _softmax_reduce(self, msg, dst_slot, num_segments):
-        if self.use_pallas:
+        if self.reduce_mode == "pallas":
             from ..ops.pallas_segment import segment_softmax_sum_pallas
             return segment_softmax_sum_pallas(
                 msg, dst_slot, num_segments, self.pallas_interpret)
-        return segment_softmax_sum(msg, dst_slot, num_segments)
+        return segment_softmax_sum_fused(msg, dst_slot, num_segments)
 
-    def _mean_reduce(self, msg, dst_slot, num_segments):
-        if self.use_pallas:
-            from ..ops.pallas_segment import segment_mean_pallas
-            return segment_mean_pallas(
-                msg, dst_slot, num_segments, self.pallas_interpret)
-        return segment_mean(msg, dst_slot, num_segments)
+    def _cell_neigh_mailbox(self, h, mail, rev_pos, rev_rows):
+        """Masked elementwise mailbox softmax (cell_msg_reduce,
+        src/model.py:113-116) over the dense (Pn, md, D) mailbox."""
+        m = mailbox_gather(h, mail, rev_pos, rev_rows, self.num_rows)
+        valid = (mail != self.num_rows)[..., None]  # (Pn, md, 1)
+        neg = jnp.full_like(m, -jnp.inf)
+        mx = jnp.max(jnp.where(valid, m, neg), axis=1, keepdims=True)
+        mx = jnp.where(jnp.isfinite(mx), mx, 0.0)
+        ex = jnp.where(valid, jnp.exp(m - mx), 0.0)
+        denom = jnp.maximum(ex.sum(axis=1), 1e-12)
+        return (ex * m).sum(axis=1) / denom
 
-    def __call__(self, h, feats, xs):
-        cell_feat, net_feat = feats
-        pn_c = xs["cell_nodes"].shape[0]
-        pn_n = xs["net_nodes"].shape[0]
+    def _cell_neigh_mailbox_attn(self, h, mail, rev_pos, rev_rows):
+        """Attention reduce on the dense mailbox: per-edge scores from
+        fc_attn2, softmax over the mailbox."""
+        m = mailbox_gather(h, mail, rev_pos, rev_rows, self.num_rows)
+        valid = mail != self.num_rows                  # (Pn, md)
+        scores = self.fc_attn2(m).squeeze(-1)          # (Pn, md)
+        scores = jnp.where(valid, scores, -jnp.inf)
+        mx = jnp.max(scores, axis=1, keepdims=True)
+        mx = jnp.where(jnp.isfinite(mx), mx, 0.0)
+        ex = jnp.where(valid, jnp.exp(scores - mx), 0.0)
+        alpha = ex / jnp.maximum(ex.sum(axis=1, keepdims=True), 1e-12)
+        return (alpha[..., None] * m).sum(axis=1)
+
+    def _net_neigh_mailbox(self, h, mail, rev_pos, rev_rows):
+        m = mailbox_gather(h, mail, rev_pos, rev_rows, self.num_rows)
+        valid = (mail != self.num_rows)[..., None]
+        s = jnp.where(valid, m, 0.0).sum(axis=1)
+        cnt = jnp.maximum(valid.sum(axis=1).astype(m.dtype), 1.0)
+        return s / cnt
+
+    def __call__(self, h, xs):
+        pn_c = xs["cell_feat"].shape[0]
+        pn_n = xs["net_feat"].shape[0]
+        mailbox = self.reduce_mode == "mailbox"
 
         # ---- cell half (even level) ----
-        msg = h[xs["cell_src"]]
-        if self.flag_attn:
+        if mailbox:
+            if self.flag_attn:
+                neigh = self._cell_neigh_mailbox_attn(
+                    h, xs["cell_mail"], xs["cell_rev_pos"],
+                    xs["cell_rev_rows"])
+            else:
+                neigh = self._cell_neigh_mailbox(
+                    h, xs["cell_mail"], xs["cell_rev_pos"],
+                    xs["cell_rev_rows"])
+        elif self.flag_attn:
+            msg = h[xs["cell_src"]]
             scores = self.fc_attn2(msg)
             neigh = segment_weighted_softmax_sum(
                 msg, scores, xs["cell_dst_slot"], pn_c + 1)[:pn_c]
         else:
+            msg = h[xs["cell_src"]]
             neigh = self._softmax_reduce(
                 msg, xs["cell_dst_slot"], pn_c + 1)[:pn_c]
-        h_self = self.fc_cell_self(cell_feat[xs["cell_nodes"]])
+        h_self = self.fc_cell_self(xs["cell_feat"])
         # level 0 drops the neighbor term (apply_cell_func_level0,
         # src/model.py:148-153); its mailboxes are empty anyway.
         gate = jnp.where(xs["pair_idx"] == 0, 0.0, 1.0).astype(h.dtype)
         h_new = jax.nn.relu(h_self + gate * self.fc_cell_neigh(neigh))
-        h = h.at[xs["cell_nodes"]].set(h_new)
+        h = jax.lax.dynamic_update_slice(h, h_new, (xs["cell_off"], 0))
 
         # ---- net half (odd level) ----
-        msg_n = h[xs["net_src"]]
-        neigh_n = self._mean_reduce(
-            msg_n, xs["net_dst_slot"], pn_n + 1)[:pn_n]
-        h_new_n = jax.nn.relu(
-            self.fc_net_self(net_feat[xs["net_nodes"]]) + neigh_n)
-        h = h.at[xs["net_nodes"]].set(h_new_n)
+        if mailbox:
+            neigh_n = self._net_neigh_mailbox(
+                h, xs["net_mail"], xs["net_rev_pos"], xs["net_rev_rows"])
+        else:
+            msg_n = h[xs["net_src"]]
+            sums = segment_sum(msg_n, xs["net_dst_slot"], pn_n + 1)[:pn_n]
+            neigh_n = sums / xs["net_cnt"][:, None]
+        h_new_n = jax.nn.relu(self.fc_net_self(xs["net_feat"]) + neigh_n)
+        h = jax.lax.dynamic_update_slice(h, h_new_n, (xs["net_off"], 0))
         return h, None
 
 
 class TimeGNN(nn.Module):
-    """Full levelized propagation; returns h for all nodes, (N+1, out_dim).
-
-    Row N is the dummy padding row (contents unspecified — padded edges
-    only ever reduce into dummy segments).
-    """
+    """Full levelized propagation; returns h for all state rows,
+    ``(num_rows+1, out_dim)`` in the level-contiguous layout. The last
+    row is the gather dummy for padded edge sources."""
 
     out_dim: int = 128
     hidden_dim: int = 256
     flag_attn: bool = False
     num_heads: int = 1  # parity flag; single-head semantics (reference default)
     unroll: int | bool = 1  # lax.scan unroll factor over level pairs
-    use_pallas: bool = False  # fused streaming segment reduces
+    reduce_mode: str = "mailbox"  # 'mailbox' | 'segment' | 'pallas'
     pallas_interpret: bool = False  # interpreter mode (CPU testing)
 
     @nn.compact
     def __call__(self, g: LeveledGraph, h0=None):
-        n1 = g.cell_feat.shape[0]
+        num_rows = g.num_rows
+        stride = g.pn_c + g.pn_n
         h = (h0 if h0 is not None
-             else jnp.zeros((n1, self.out_dim), dtype=g.cell_feat.dtype))
+             else jnp.zeros((num_rows + 1, self.out_dim),
+                            dtype=g.cell_feat_lvl.dtype))
+        pair_idx = jnp.arange(g.num_pairs, dtype=jnp.int32)
         xs = {
-            "pair_idx": jnp.arange(g.num_pairs, dtype=jnp.int32),
-            "cell_nodes": g.cell_nodes,
-            "cell_src": g.cell_src,
-            "cell_dst_slot": g.cell_dst_slot,
-            "net_nodes": g.net_nodes,
-            "net_src": g.net_src,
-            "net_dst_slot": g.net_dst_slot,
+            "pair_idx": pair_idx,
+            "cell_off": pair_idx * stride,
+            "net_off": pair_idx * stride + g.pn_c,
+            "cell_feat": g.cell_feat_lvl,
+            "net_feat": g.net_feat_lvl,
         }
+        if self.reduce_mode == "mailbox":
+            xs.update(cell_mail=g.cell_mail, net_mail=g.net_mail,
+                      cell_rev_pos=g.cell_rev_pos,
+                      cell_rev_rows=g.cell_rev_rows,
+                      net_rev_pos=g.net_rev_pos,
+                      net_rev_rows=g.net_rev_rows)
+        else:
+            xs.update(cell_src=g.cell_src, cell_dst_slot=g.cell_dst_slot,
+                      net_src=g.net_src, net_dst_slot=g.net_dst_slot,
+                      net_cnt=g.net_cnt)
         scan = nn.scan(
             _PairStep,
             variable_broadcast="params",
             split_rngs={"params": False},
-            in_axes=(nn.broadcast, 0),
+            in_axes=0,
             unroll=self.unroll,
         )
         h, _ = scan(
             out_dim=self.out_dim,
+            num_rows=num_rows,
             hidden_dim=self.hidden_dim,
             flag_attn=self.flag_attn,
-            use_pallas=self.use_pallas,
+            reduce_mode=self.reduce_mode,
             pallas_interpret=self.pallas_interpret,
             name="pair_step",
-        )(h, (g.cell_feat, g.net_feat), xs)
+        )(h, xs)
         return h

@@ -102,6 +102,10 @@ def get_options(args=None):
                      help="dtype for GNN/CNN activations")
     tpu.add_argument("--pallas", action="store_true",
                      help="use Pallas fused gather/segment kernels where available")
+    tpu.add_argument("--gnn_unroll", type=int, default=1,
+                     help="lax.scan unroll factor over GNN level pairs; "
+                          "0 = fully unroll (fastest on kernel-launch-bound "
+                          "chips, higher compile time)")
     tpu.add_argument("--seed", type=int, default=9294,
                      help="RNG seed (reference hardcodes 9294 at src/train.py:596)")
     tpu.add_argument("--max_steps", type=int, default=None,

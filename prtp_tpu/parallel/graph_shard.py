@@ -43,9 +43,12 @@ def design_shardings(mesh: Mesh, gp_axis: str = GP_AXIS):
     repl = NamedSharding(mesh, P())
     edge = NamedSharding(mesh, P(None, gp_axis))
     graph = LeveledGraph(
-        cell_feat=repl, net_feat=repl,
-        cell_nodes=repl, cell_src=edge, cell_dst_slot=edge,
-        net_nodes=repl, net_src=edge, net_dst_slot=edge,
+        cell_feat_lvl=repl, net_feat_lvl=repl,
+        cell_src=edge, cell_dst_slot=edge,
+        net_src=edge, net_dst_slot=edge, net_cnt=repl,
+        cell_mail=repl, net_mail=repl,
+        cell_rev_pos=repl, cell_rev_rows=repl,
+        net_rev_pos=repl, net_rev_rows=repl,
     )
     return DesignData(
         graph=graph, arrival_time=repl, required_time=repl,
@@ -71,7 +74,11 @@ def make_graph_sharded_train_step(model, tx, mesh: Mesh,
                                   gp_axis: str = GP_AXIS,
                                   donate: bool = True):
     """Train step jitted over a (dp, gp) mesh: path batch sharded on dp,
-    edge tables sharded on gp, state replicated."""
+    edge tables sharded on gp, state replicated.
+
+    The model should use ``gnn_reduce='segment'`` so the reductions run
+    over the (sharded) flat edge tables; the default dense-mailbox
+    reduce is node-indexed and would simply replicate."""
 
     def step_fn(state: TrainState, design: DesignData, path_ids, mask):
         def loss_fn(params):

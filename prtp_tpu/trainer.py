@@ -36,15 +36,63 @@ class TrainState:
     best_r2: jnp.ndarray
 
 
-def make_optimizer(learning_rate: float, weight_decay: float = 0.0):
+def make_optimizer(learning_rate: float, weight_decay: float = 0.0,
+                   flat: bool = False):
     """Adam with torch-style (coupled) L2 weight decay
-    (reference src/train.py:430-443)."""
+    (reference src/train.py:430-443).
+
+    ``flat=True`` runs the identical Adam math over one concatenated
+    parameter vector — a single fused kernel instead of one per leaf
+    (kernel-launch overhead is the measured cost driver on the target
+    chip)."""
+    if flat:
+        return make_flat_adam(learning_rate, weight_decay)
     if weight_decay:
         return optax.chain(
             optax.add_decayed_weights(weight_decay),
             optax.adam(learning_rate),
         )
     return optax.adam(learning_rate)
+
+
+def make_flat_adam(learning_rate: float, weight_decay: float = 0.0,
+                   b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8):
+    """Adam over a single flattened parameter vector (optax-compatible)."""
+
+    def _flatten(tree):
+        leaves = jax.tree_util.tree_leaves(tree)
+        return jnp.concatenate([l.reshape(-1) for l in leaves])
+
+    def _unflatten(flat, tree):
+        leaves, treedef = jax.tree_util.tree_flatten(tree)
+        out = []
+        off = 0
+        for l in leaves:
+            n = l.size
+            out.append(flat[off: off + n].reshape(l.shape).astype(l.dtype))
+            off += n
+        return jax.tree_util.tree_unflatten(treedef, out)
+
+    def init(params):
+        flat = _flatten(params)
+        return {"mu": jnp.zeros_like(flat), "nu": jnp.zeros_like(flat),
+                "count": jnp.zeros((), jnp.int32)}
+
+    def update(grads, state, params=None):
+        g = _flatten(grads)
+        if weight_decay:
+            g = g + weight_decay * _flatten(params)
+        count = state["count"] + 1
+        mu = b1 * state["mu"] + (1 - b1) * g
+        nu = b2 * state["nu"] + (1 - b2) * (g * g)
+        t = count.astype(mu.dtype)
+        mu_hat = mu / (1 - b1 ** t)
+        nu_hat = nu / (1 - b2 ** t)
+        upd_flat = -learning_rate * mu_hat / (jnp.sqrt(nu_hat) + eps)
+        updates = _unflatten(upd_flat, grads)
+        return updates, {"mu": mu, "nu": nu, "count": count}
+
+    return optax.GradientTransformation(init, update)
 
 
 def init_state(model, tx, design: DesignData, rng, batch_size: int = 4):

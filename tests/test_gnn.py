@@ -5,60 +5,52 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from prtp_tpu.graph import LeveledGraph, build_level_tables
+from prtp_tpu.graph import pack_leveled_graph
 from prtp_tpu.models import TimeGNN
 
 from helpers import make_random_leveled_graph, naive_timegnn_forward
 
 
 def _pack(g, align=8):
-    tables = build_level_tables(
-        g["levels"],
-        {"cell": g["cell_edges"], "net": g["net_edges"]},
-        g["num_nodes"], align=align)
-    feat_c = np.concatenate(
-        [g["cell_feat"], np.zeros((1, g["cell_feat"].shape[1]), np.float32)])
-    feat_n = np.concatenate(
-        [g["net_feat"], np.zeros((1, g["net_feat"].shape[1]), np.float32)])
-    return LeveledGraph(
-        cell_feat=jnp.asarray(feat_c), net_feat=jnp.asarray(feat_n),
-        **{k: jnp.asarray(v) for k, v in tables.items()})
+    """Returns (LeveledGraph, node_row) for the level-contiguous layout."""
+    lg, node_row, _num_rows = pack_leveled_graph(g, align=align)
+    return lg, node_row
 
 
 def test_timegnn_matches_naive_reference():
     rng = np.random.default_rng(42)
     g = make_random_leveled_graph(rng, level_sizes=(5, 8, 6, 9, 4, 7))
-    lg = _pack(g)
+    lg, node_row = _pack(g)
     model = TimeGNN(out_dim=16, hidden_dim=32)
     params = model.init(jax.random.PRNGKey(0), lg)
     h = np.array(model.apply(params, lg))
 
     h_ref = naive_timegnn_forward(params, g, out_dim=16)
-    np.testing.assert_allclose(h[: g["num_nodes"]], h_ref, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(h[node_row], h_ref, rtol=1e-4, atol=1e-4)
 
 
 def test_timegnn_odd_level_count():
     rng = np.random.default_rng(7)
     g = make_random_leveled_graph(rng, level_sizes=(3, 4, 5))
-    lg = _pack(g)
+    lg, node_row = _pack(g)
     model = TimeGNN(out_dim=8, hidden_dim=16)
     params = model.init(jax.random.PRNGKey(1), lg)
     h = np.array(model.apply(params, lg))
     h_ref = naive_timegnn_forward(params, g, out_dim=8)
-    np.testing.assert_allclose(h[: g["num_nodes"]], h_ref, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(h[node_row], h_ref, rtol=1e-4, atol=1e-4)
 
 
 def test_timegnn_jit_and_grad():
     rng = np.random.default_rng(3)
     g = make_random_leveled_graph(rng, level_sizes=(4, 5, 4, 5))
-    lg = _pack(g)
+    lg, node_row = _pack(g)
     model = TimeGNN(out_dim=8, hidden_dim=16)
     params = model.init(jax.random.PRNGKey(2), lg)
 
     @jax.jit
     def loss_fn(p):
         h = model.apply(p, lg)
-        return jnp.sum(h[: g["num_nodes"]] ** 2)
+        return jnp.sum(h[jnp.asarray(node_row)] ** 2)
 
     grads = jax.grad(loss_fn)(params)
     flat = jax.tree_util.tree_leaves(grads)
@@ -71,7 +63,7 @@ def test_timegnn_jit_and_grad():
 def test_timegnn_attention_variant_runs():
     rng = np.random.default_rng(5)
     g = make_random_leveled_graph(rng, level_sizes=(4, 5, 4, 5))
-    lg = _pack(g)
+    lg, _node_row = _pack(g)
     model = TimeGNN(out_dim=8, hidden_dim=16, flag_attn=True)
     params = model.init(jax.random.PRNGKey(3), lg)
     h = np.array(model.apply(params, lg))

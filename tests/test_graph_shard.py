@@ -24,7 +24,7 @@ def setup():
     parsed = _tiny_parsed_design(rng)
     design = pack_design(parsed, map_size=16, align=8)
     model = PathModel(out_dim=16, hidden_dim=32, cnn_outdim=8, map_size=16,
-                      global_dim=8)
+                      global_dim=8, gnn_reduce="segment")
     tx = make_optimizer(1e-3)
     state = init_state(model, tx, design, jax.random.PRNGKey(0))
     n = design.num_paths

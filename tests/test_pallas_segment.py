@@ -92,26 +92,28 @@ def test_timegnn_pallas_matches_xla_path():
     import sys, os
     sys.path.insert(0, os.path.dirname(__file__))
     from helpers import make_random_leveled_graph
-    from prtp_tpu.graph import LeveledGraph, build_level_tables
+    from prtp_tpu.graph import pack_leveled_graph
     from prtp_tpu.models import TimeGNN
 
     rng = np.random.default_rng(9)
     g = make_random_leveled_graph(rng, level_sizes=(5, 8, 6, 9, 4, 7))
-    tables = build_level_tables(
-        g["levels"], {"cell": g["cell_edges"], "net": g["net_edges"]},
-        g["num_nodes"], align=8)
-    feat_c = np.concatenate(
-        [g["cell_feat"], np.zeros((1, g["cell_feat"].shape[1]), np.float32)])
-    feat_n = np.concatenate(
-        [g["net_feat"], np.zeros((1, g["net_feat"].shape[1]), np.float32)])
-    lg = LeveledGraph(cell_feat=jnp.asarray(feat_c),
-                      net_feat=jnp.asarray(feat_n),
-                      **{k: jnp.asarray(v) for k, v in tables.items()})
-    m_xla = TimeGNN(out_dim=16, hidden_dim=32)
-    m_pl = TimeGNN(out_dim=16, hidden_dim=32, use_pallas=True,
+    lg, node_row, _ = pack_leveled_graph(g, align=8)
+    m_xla = TimeGNN(out_dim=16, hidden_dim=32, reduce_mode="segment")
+    m_pl = TimeGNN(out_dim=16, hidden_dim=32, reduce_mode="pallas",
                    pallas_interpret=True)
     params = m_xla.init(jax.random.PRNGKey(0), lg)
     h1 = np.asarray(m_xla.apply(params, lg))
     h2 = np.asarray(m_pl.apply(params, lg))
-    np.testing.assert_allclose(h2[: g["num_nodes"]], h1[: g["num_nodes"]],
+    np.testing.assert_allclose(h2[node_row], h1[node_row],
                                rtol=1e-4, atol=1e-5)
+
+
+def test_fused_softmax_sum_matches_plain():
+    from prtp_tpu.ops.segment import segment_softmax_sum_fused
+    rng = np.random.default_rng(11)
+    msg, ids = _sorted_case(rng, scale=2.0)
+    n = 12
+    ref = segment_softmax_sum(msg, ids, n)
+    got = segment_softmax_sum_fused(msg, ids, n)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
