@@ -86,7 +86,25 @@ def bench_tpu(parsed):
         log(f"tpu trial {trial}: {1 / dt:.2f} steps/s "
             f"loss={float(mets['loss']):.3f}")
         best = max(best, 1.0 / dt)
-    return best, design.num_paths, batch
+
+    # inference: full-design forward (all paths), designs/sec
+    from prtp_tpu.trainer import make_eval_step
+    all_ids, all_mask = pad_batch(
+        np.arange(design.num_paths, dtype=np.int64), design.num_paths)
+    ev = make_eval_step(model, "reg")
+    # timed loop with value-fetch sync (device stream is in-order, so the
+    # final fetch bounds all prior dispatches); compile once first
+    preds, _ = ev(state, design, all_ids, all_mask)
+    _ = float(preds[0])
+    t0 = time.time()
+    n_inf = 20
+    for _i in range(n_inf):
+        preds, _ = ev(state, design, all_ids, all_mask)
+    _ = float(preds[0])
+    inf_dps = n_inf / (time.time() - t0)
+    log(f"tpu inference: {inf_dps:.2f} designs/s "
+        f"({design.num_paths} paths/design)")
+    return best, design.num_paths, batch, inf_dps
 
 
 def bench_torch_cpu(parsed):
@@ -216,7 +234,7 @@ def main():
         f"{len(parsed['cell_edges'][0])} cell-edges, "
         f"{len(parsed['net_edges'][0])} net-edges, "
         f"{parsed['num_paths']} paths, {len(sizes)} levels")
-    tpu_sps, num_paths, batch = bench_tpu(parsed)
+    tpu_sps, num_paths, batch, inf_dps = bench_tpu(parsed)
     try:
         cpu_sps = bench_torch_cpu(parsed)
     except Exception as e:  # torch missing/broken: report absolute only
@@ -233,6 +251,7 @@ def main():
                          + len(parsed["net_edges"][0])),
             "paths": int(num_paths),
             "batch": int(batch),
+            "inference_designs_per_sec": round(inf_dps, 2),
             "baseline": "torch-cpu reference-style levelized step",
             "baseline_steps_per_sec": round(cpu_sps, 4) if cpu_sps else None,
         },

@@ -142,7 +142,8 @@ class _PairStep(nn.Module):
         # src/model.py:148-153); its mailboxes are empty anyway.
         gate = jnp.where(xs["pair_idx"] == 0, 0.0, 1.0).astype(h.dtype)
         h_new = jax.nn.relu(h_self + gate * self.fc_cell_neigh(neigh))
-        h = jax.lax.dynamic_update_slice(h, h_new, (xs["cell_off"], 0))
+        h = jax.lax.dynamic_update_slice(h, h_new.astype(h.dtype),
+                                         (xs["cell_off"], 0))
 
         # ---- net half (odd level) ----
         if mailbox:
@@ -153,7 +154,8 @@ class _PairStep(nn.Module):
             sums = segment_sum(msg_n, xs["net_dst_slot"], pn_n + 1)[:pn_n]
             neigh_n = sums / xs["net_cnt"][:, None]
         h_new_n = jax.nn.relu(self.fc_net_self(xs["net_feat"]) + neigh_n)
-        h = jax.lax.dynamic_update_slice(h, h_new_n, (xs["net_off"], 0))
+        h = jax.lax.dynamic_update_slice(h, h_new_n.astype(h.dtype),
+                                         (xs["net_off"], 0))
         return h, None
 
 

@@ -102,8 +102,12 @@ def train(options, seed):
     print("--- train designs: ", train_designs)
     print("--- test designs: ", val_designs)
 
+    compute_dtype = (jnp.bfloat16 if options.compute_dtype == "bfloat16"
+                     else jnp.float32)
+
     def packer(parsed):
-        return pack_design(parsed, map_size=options.map_size)
+        return pack_design(parsed, map_size=options.map_size,
+                           compute_dtype=compute_dtype)
 
     cache_tr = DesignCache(packer)
     cache_val = DesignCache(packer)
