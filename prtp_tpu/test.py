@@ -13,6 +13,7 @@ Usage:
 
 from __future__ import annotations
 
+import json
 import os
 import sys
 from time import time
@@ -21,7 +22,7 @@ import numpy as np
 import jax
 
 from .data.dataset import get_design_list, load_design_npz
-from .graph import pack_design
+from .graph import bucket_shape, pack_design
 from .models.fusion import model_from_options
 from .options import get_options
 from .trainer import (init_state_abstract, make_eval_step, make_optimizer,
@@ -62,22 +63,23 @@ def test(options, designs):
                    f1=0.0)
     res = []
 
-    # sample design for state template
-    first = _feat_adjusted(load_design_npz(
-        os.path.join(options.data_save_path, f"{designs[0]}.npz")), options)
-    first_pack = pack_design(first, map_size=options.map_size)
+    parsed_all = [_feat_adjusted(load_design_npz(
+        os.path.join(options.data_save_path, f"{d}.npz")), options)
+        for d in designs]
+    # one padded bucket across designs => a single eval-step compile
+    bucket = bucket_shape(parsed_all, map_size=options.map_size)
+    first_pack = pack_design(parsed_all[0], map_size=options.map_size,
+                             pad_to=bucket)
     model, state, _config = load_model_state(options, first_pack)
     eval_step = make_eval_step(model, options.task)
 
-    for case_idx, design in enumerate(designs):
-        parsed = _feat_adjusted(load_design_npz(
-            os.path.join(options.data_save_path, f"{design}.npz")), options)
-        pack = pack_design(parsed, map_size=options.map_size)
+    for case_idx, (design, parsed) in enumerate(zip(designs, parsed_all)):
+        pack = pack_design(parsed, map_size=options.map_size, pad_to=bucket)
         start_time = time()
         all_ids = np.arange(parsed["num_paths"], dtype=np.int64)
-        pids, mask = pad_batch(all_ids, len(all_ids))
+        pids, mask = pad_batch(all_ids, pack.num_paths)
         preds, mets = eval_step(state, pack, pids, mask)
-        preds = np.asarray(preds)
+        preds = np.asarray(preds)[: parsed["num_paths"]]
         runtime = time() - start_time
 
         levels = parsed["path2level"]
@@ -92,6 +94,15 @@ def test(options, designs):
                     print(f"level {lvl}: #={int(sel.sum())}, r2={r2_l}, "
                           f"mape={mape_l}")
             _plot_relative_error(options, case_idx, levels, preds, arrival)
+            # predicted-critical path ids (capability of the reference's
+            # predict_critical dumps, src/test.py:408-411, JSON not pickle)
+            required = parsed["required_time"][parsed["path_endpoint"]]
+            pred_crit = np.nonzero(required - preds < 0)[0].tolist()
+            crit_dir = os.path.join(options.model_saving_dir,
+                                    "predict_critical")
+            os.makedirs(crit_dir, exist_ok=True)
+            with open(os.path.join(crit_dir, f"{design}.json"), "w") as f:
+                json.dump(pred_crit, f)
 
         loss = float(mets["loss"])
         r2 = float(mets["r2"])

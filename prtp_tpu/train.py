@@ -21,7 +21,9 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .data.dataset import get_design_list, load_single_design
+from .data.dataset import (get_design_list, load_design_npz,
+                           load_single_design)
+from .graph import bucket_shape
 from .graph import pack_design
 from .models.fusion import model_from_options
 from .options import get_options
@@ -66,7 +68,9 @@ def validate(options, val_designs, cache_val, eval_step, state):
             print(f"\tcase {case_idx} \t(empty val split, skipped)")
             continue
         n_cases += 1
-        pids, mask = pad_batch(ids, max(len(ids), 1))
+        # pad to the bucketed path capacity => one eval compile for all
+        # designs
+        pids, mask = pad_batch(ids, max(pack.num_paths, len(ids), 1))
         _preds, mets = eval_step(state, pack, pids, mask)
         loss = float(mets["loss"])
         r2 = float(mets["r2"])
@@ -105,9 +109,17 @@ def train(options, seed):
     compute_dtype = (jnp.bfloat16 if options.compute_dtype == "bfloat16"
                      else jnp.float32)
 
+    # Bucket all designs to one padded shape so the train and eval steps
+    # compile exactly once (the reference re-runs eager per design; here
+    # per-design shapes would mean one XLA compile each).
+    all_designs = sorted(set(train_designs) | set(val_designs))
+    bucket = bucket_shape(
+        [load_design_npz(os.path.join(options.data_save_path, f"{d}.npz"))
+         for d in all_designs], map_size=options.map_size)
+
     def packer(parsed):
         return pack_design(parsed, map_size=options.map_size,
-                           compute_dtype=compute_dtype)
+                           compute_dtype=compute_dtype, pad_to=bucket)
 
     cache_tr = DesignCache(packer)
     cache_val = DesignCache(packer)

@@ -255,3 +255,19 @@ def test_npz_roundtrip(parsed_design, corpus):
     for (a, b) in zip(parsed["levels"], again["levels"]):
         np.testing.assert_array_equal(np.sort(a[0]), np.sort(b[0]))
     assert again["cnn_input"].shape == (2, 64, 64)
+
+
+def test_pipeline_scales_to_10k_cells(tmp_path):
+    """Medium-scale host pipeline smoke: ~20k pins end-to-end quickly."""
+    import time
+    from prtp_tpu.data.generate import generate_one
+    raw = str(tmp_path / "raw")
+    synthetic.write_libs(raw)
+    synthetic.generate_design(os.path.join(raw, "mid"), num_paths=300,
+                              depth=12, seed=1, cnn_channels=2, cnn_hw=64)
+    t0 = time.time()
+    out = generate_one(raw, "mid", str(tmp_path), map_size=16)
+    dt = time.time() - t0
+    parsed = load_design_npz(out)
+    assert parsed["num_nodes"] > 10000
+    assert dt < 60, f"host pipeline too slow: {dt:.1f}s"
