@@ -99,6 +99,8 @@ def main(argv=None):
     for design in sorted(os.listdir(rawdata_path)):
         if design in SKIP_ENTRIES or design.endswith(".json"):
             continue
+        if options.design and design != options.design:
+            continue
         if not os.path.isdir(os.path.join(rawdata_path, design)):
             continue
         out = os.path.join(data_save_path, f"{design}.npz")

@@ -144,6 +144,7 @@ class NetlistBuilder:
         self.cell_lib = cell_lib
 
         self.nets: Dict[str, NetInfo] = {}
+        self.cell_type_count: Dict[str, int] = {}
         self.module_wires_map: Dict[str, dict] = {}
         self.module_io2arg_map: Dict[str, Optional[dict]] = {}
         self.equal_wire_map: Dict[str, str] = {}
@@ -245,6 +246,8 @@ class NetlistBuilder:
         edges (registers: clk->output only). Reference parse_cell,
         :831-958."""
         cell_name = inst.module
+        ctype = abstract_cell_type(cell_name)
+        self.cell_type_count[ctype] = self.cell_type_count.get(ctype, 0) + 1
         instance_name = (inst.name if call_path == ""
                          else f"{call_path}/{inst.name}")
         instance_name = instance_name.replace("\\", "")
