@@ -103,6 +103,10 @@ class _Circuit:
         assert depth >= 2, "depth must be >= 2 (path 0 routes through sub)"
         self.R = num_paths
         self.D = depth
+        # per-path chain depths vary so endpoints land on different topo
+        # levels (distinguishable arrival times; exercises the per-level
+        # readout like real designs)
+        self.depths = [depth + (i % 3) for i in range(num_paths)]
         self.rng = np.random.default_rng(seed)
         self.positions = {}  # pin -> (x, y)
 
@@ -110,7 +114,7 @@ class _Circuit:
         self.positions[name] = (float(x), float(y))
 
     def netlist(self) -> str:
-        R, D = self.R, self.D
+        R = self.R
         pi_d = [f"pi_d{i}" for i in range(R)]
         pi_s = [f"pi_s{i}" for i in range(R)]
         lines = ["module sub ( in1, in2, out1 );",
@@ -126,7 +130,7 @@ class _Circuit:
         wires = []
         for i in range(R):
             wires += [f"q{i}", f"qq{i}"]
-            wires += [f"w{i}_{k}" for k in range(D)]
+            wires += [f"w{i}_{k}" for k in range(self.depths[i])]
         wires.append("alias1")
         for w in wires:
             lines.append(f"  wire {w};")
@@ -151,7 +155,7 @@ class _Circuit:
             elif i == 1:
                 body.append("  assign alias1 = q1;")
                 src_net = "alias1"
-            for k in range(k0, D):
+            for k in range(k0, self.depths[i]):
                 x = 20 + 30 * k
                 inst = f"c{i}_{k}"
                 out_net = f"w{i}_{k}"
@@ -169,10 +173,10 @@ class _Circuit:
                         self._pos(f"{inst}/{pin}", x + dx, y)
                 src_net = out_net
             body.append(
-                f"  DFFHQNx1_ASAP7_75t_R K{i} ( .D(w{i}_{D - 1}), "
+                f"  DFFHQNx1_ASAP7_75t_R K{i} ( .D(w{i}_{self.depths[i] - 1}), "
                 f".CLK(clk), .QN(qq{i}) );")
             for pin, dx in (("D", 0), ("CLK", 1), ("QN", 2)):
-                self._pos(f"K{i}/{pin}", 20 + 30 * D + dx, y)
+                self._pos(f"K{i}/{pin}", 20 + 30 * self.depths[i] + dx, y)
         lines += body
         lines.append("endmodule")
         # driverless-net pseudo-pin positions ({net}/{net} lookups)
@@ -184,7 +188,7 @@ class _Circuit:
 
     def path_pins(self, i):
         """(startpoint, endpoint, [(pin, arc, cell)] report rows)."""
-        D = self.D
+        D = self.depths[i]
         rows = []
         rows.append((f"L{i}/QN", "CLK->QN", "DFFHQNx1_ASAP7_75t_R"))
         rows.append((f"q{i}", None, "(net)"))

@@ -101,3 +101,36 @@ def test_train_loss_decreases(pipeline_dirs):
             first = float(mets["loss"])
     last = float(mets["loss"])
     assert last < first * 0.5, (first, last)
+
+
+def test_model_learns_synthetic_timing(pipeline_dirs):
+    """End-to-end learnability: the fusion model must fit the synthetic
+    arrival times (deterministic in depth) to high R^2."""
+    import jax
+    from prtp_tpu.options import get_options
+    from prtp_tpu.models.fusion import model_from_options
+    from prtp_tpu.data.dataset import load_single_design
+    from prtp_tpu.graph import pack_design
+    from prtp_tpu.trainer import (init_state, make_optimizer,
+                                  make_multi_train_step, pad_batch)
+
+    _raw, data, _m = pipeline_dirs
+    options = get_options(["--no_cnn", "--out_dim", "16",
+                           "--hidden_dim", "32", "--map_size", "16"])
+    options.cell_feat_dim -= options.feat_reduce[0]
+    options.net_feat_dim -= options.feat_reduce[1]
+    parsed = load_single_design("train", data, "syn_a")
+    pack = pack_design(parsed, map_size=16)
+    model = model_from_options(options)
+    tx = make_optimizer(3e-3)
+    state = init_state(model, tx, pack, jax.random.PRNGKey(0))
+    step = make_multi_train_step(model, tx, 50, "reg", donate=False)
+    ids, mask = pad_batch(np.asarray(parsed["path_ids"]),
+                          len(parsed["path_ids"]))
+    r2 = -1.0
+    for _ in range(6):  # up to 300 steps
+        state, mets = step(state, pack, ids, mask)
+        r2 = float(mets["r2"])
+        if r2 > 0.95:
+            break
+    assert r2 > 0.9, f"model failed to fit synthetic timing: r2={r2}"
