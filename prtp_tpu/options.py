@@ -112,6 +112,11 @@ def get_options(args=None):
                      help="optional hard cap on optimizer steps (smoke tests)")
     tpu.add_argument("--val_interval", type=int, default=50,
                      help="validate every N batches (reference: 50, src/train.py:566)")
+    tpu.add_argument("--steps_per_dispatch", type=int, default=8,
+                     help="optimizer steps (distinct shuffled batches) rolled "
+                          "into one device dispatch via lax.scan; amortizes "
+                          "dispatch latency. 1 = strict per-batch dispatch. "
+                          "Validation triggers align to dispatch boundaries.")
     tpu.add_argument("--debug_nans", action="store_true",
                      help="raise on NaN/Inf in any computation (analogue of "
                           "the reference's set_detect_anomaly, src/train.py:452)")

@@ -35,7 +35,7 @@ from .trainer import (
     iterate_batches,
     make_eval_step,
     make_optimizer,
-    make_train_step,
+    make_scan_train_step,
     pad_batch,
 )
 from .utils import checkpoint as ckpt
@@ -157,12 +157,24 @@ def train(options, seed):
     print(options)
     print("seed:", seed)
 
-    train_step = make_train_step(model, tx, options.task)
     eval_step = make_eval_step(model, options.task)
+    # scanned multi-batch dispatch: one device call per
+    # --steps_per_dispatch distinct shuffled batches; compiled per chunk
+    # length (full chunks + one remainder length at most)
+    scan_steps = {}
+
+    def run_chunk(state, pack, chunk):
+        k = len(chunk)
+        if k not in scan_steps:
+            scan_steps[k] = make_scan_train_step(model, tx, k, options.task)
+        ids2d = jnp.stack([c[0] for c in chunk])
+        mask2d = jnp.stack([c[1] for c in chunk])
+        return scan_steps[k](state, pack, ids2d, mask2d)
 
     max_f1 = float(state.best_f1)
     max_r2 = float(state.best_r2)
     total_steps = 0
+    spd = max(options.steps_per_dispatch, 1)
     print("----------------Start training---------------")
     for epoch in range(options.num_epoch):
         for design in train_designs:
@@ -171,19 +183,28 @@ def train(options, seed):
             ids = parsed["path_ids"]
             num_batch = batch_count(len(ids), options.batch_size,
                                     options.droplast)
-            for bidx, (pids, mask) in enumerate(iterate_batches(
-                    ids, options.batch_size, rng,
-                    drop_last=options.droplast)):
-                state, mets = train_step(state, pack, pids, mask)
-                loss = float(mets["loss"])
-                r2 = float(mets["r2"])
-                _acc, recall, _prec, f1 = M.classification_metrics(
-                    mets["tp"], mets["fp"], mets["tn"], mets["fn"])
-                print(f"e{epoch},{design},b{bidx}/{num_batch}, "
-                      f"l:{loss:.3f}, r2:{r2:.3f}, r:{recall:.3f}, "
-                      f"F1:{f1:.3f}")
-                total_steps += 1
-                if bidx % options.val_interval == 0 or bidx == num_batch - 1:
+            batches = list(iterate_batches(ids, options.batch_size, rng,
+                                           drop_last=options.droplast))
+            bidx = 0
+            while bidx < len(batches):
+                chunk = batches[bidx: bidx + spd]
+                state, mets = run_chunk(state, pack, chunk)
+                for j in range(len(chunk)):
+                    loss = float(mets["loss"][j])
+                    r2 = float(mets["r2"][j])
+                    _acc, recall, _prec, f1 = M.classification_metrics(
+                        mets["tp"][j], mets["fp"][j],
+                        mets["tn"][j], mets["fn"][j])
+                    print(f"e{epoch},{design},b{bidx + j}/{num_batch}, "
+                          f"l:{loss:.3f}, r2:{r2:.3f}, r:{recall:.3f}, "
+                          f"F1:{f1:.3f}")
+                total_steps += len(chunk)
+                end_idx = bidx + len(chunk) - 1
+                should_validate = any(
+                    (b % options.val_interval == 0) or b == num_batch - 1
+                    for b in range(bidx, end_idx + 1))
+                bidx = end_idx + 1
+                if should_validate:
                     _res, val_f1, val_r2 = validate(
                         options, val_designs, cache_val, eval_step, state)
                     if options.task == "cls":

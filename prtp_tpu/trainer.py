@@ -205,6 +205,28 @@ def make_multi_train_step(model, tx, n_steps: int, task: str = "reg",
     return jax.jit(multi, donate_argnums=donate_argnums)
 
 
+def make_scan_train_step(model, tx, n_steps: int, task: str = "reg",
+                         donate: bool = True):
+    """One device dispatch = ``n_steps`` optimizer steps over *distinct*
+    batches (ids/mask shaped (n_steps, B)) via ``lax.scan`` — the
+    reference's shuffled-batch semantics at multi-step dispatch cost.
+    Returns jitted fn(state, design, ids_2d, mask_2d) ->
+    (state, stacked per-step metrics)."""
+    step_fn = make_raw_train_step(model, tx, task)
+
+    def scan_steps(state: TrainState, design: DesignData, ids_2d, mask_2d):
+        def body(st, xs):
+            ids, mask = xs
+            st, mets = step_fn(st, design, ids, mask)
+            return st, mets
+
+        state, mets = jax.lax.scan(body, state, (ids_2d, mask_2d))
+        return state, mets
+
+    donate_argnums = (0,) if donate else ()
+    return jax.jit(scan_steps, donate_argnums=donate_argnums)
+
+
 def make_eval_step(model, task: str = "reg"):
     """Returns jitted eval(state, design, path_ids, mask) -> (preds, metrics)."""
 

@@ -101,3 +101,31 @@ def test_checkpoint_roundtrip_and_abstract_template(tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(state.params),
                     jax.tree_util.tree_leaves(restored.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_scan_train_step_matches_sequential_batches():
+    from prtp_tpu.trainer import make_scan_train_step
+    rng = np.random.default_rng(3)
+    parsed = _tiny_parsed_design(rng)
+    design = pack_design(parsed, map_size=16, align=8)
+    model = PathModel(out_dim=16, hidden_dim=32, cnn_outdim=8, map_size=16,
+                      global_dim=8)
+    tx = make_optimizer(1e-3)
+    state = init_state(model, tx, design, jax.random.PRNGKey(0))
+    half = design.num_paths // 2
+    b1 = pad_batch(np.arange(0, half), half)
+    b2 = pad_batch(np.arange(half, 2 * half), half)
+
+    single = make_train_step(model, tx, donate=False)
+    s1 = state
+    losses = []
+    for ids, mask in (b1, b2):
+        s1, m = single(s1, design, ids, mask)
+        losses.append(float(m["loss"]))
+
+    scan3 = make_scan_train_step(model, tx, 2, donate=False)
+    ids2d = jnp.stack([b1[0], b2[0]])
+    mask2d = jnp.stack([b1[1], b2[1]])
+    s2, mets = scan3(state, design, ids2d, mask2d)
+    np.testing.assert_allclose(np.asarray(mets["loss"]), losses, rtol=1e-5)
+    assert int(s2.step) == 2
