@@ -159,17 +159,14 @@ def train(options, seed):
 
     eval_step = make_eval_step(model, options.task)
     # scanned multi-batch dispatch: one device call per
-    # --steps_per_dispatch distinct shuffled batches; compiled per chunk
-    # length (full chunks + one remainder length at most)
-    scan_steps = {}
+    # --steps_per_dispatch distinct shuffled batches; jit re-specializes
+    # per chunk length (full chunks + one remainder length at most)
+    scan_step = make_scan_train_step(model, tx, options.task)
 
     def run_chunk(state, pack, chunk):
-        k = len(chunk)
-        if k not in scan_steps:
-            scan_steps[k] = make_scan_train_step(model, tx, k, options.task)
         ids2d = jnp.stack([c[0] for c in chunk])
         mask2d = jnp.stack([c[1] for c in chunk])
-        return scan_steps[k](state, pack, ids2d, mask2d)
+        return scan_step(state, pack, ids2d, mask2d)
 
     max_f1 = float(state.best_f1)
     max_r2 = float(state.best_r2)
@@ -187,8 +184,14 @@ def train(options, seed):
                                            drop_last=options.droplast))
             bidx = 0
             while bidx < len(batches):
-                chunk = batches[bidx: bidx + spd]
+                take = spd
+                if options.max_steps:
+                    # keep --max_steps a hard cap: never dispatch more
+                    # steps than remain under it
+                    take = min(take, max(options.max_steps - total_steps, 1))
+                chunk = batches[bidx: bidx + take]
                 state, mets = run_chunk(state, pack, chunk)
+                mets = jax.device_get(mets)
                 for j in range(len(chunk)):
                     loss = float(mets["loss"][j])
                     r2 = float(mets["r2"][j])

@@ -205,11 +205,11 @@ def make_multi_train_step(model, tx, n_steps: int, task: str = "reg",
     return jax.jit(multi, donate_argnums=donate_argnums)
 
 
-def make_scan_train_step(model, tx, n_steps: int, task: str = "reg",
-                         donate: bool = True):
-    """One device dispatch = ``n_steps`` optimizer steps over *distinct*
-    batches (ids/mask shaped (n_steps, B)) via ``lax.scan`` — the
+def make_scan_train_step(model, tx, task: str = "reg", donate: bool = True):
+    """One device dispatch = one optimizer step per row of *distinct*
+    stacked batches (ids/mask shaped (n_steps, B)) via ``lax.scan`` — the
     reference's shuffled-batch semantics at multi-step dispatch cost.
+    ``jit`` re-specializes per distinct ``n_steps`` automatically.
     Returns jitted fn(state, design, ids_2d, mask_2d) ->
     (state, stacked per-step metrics)."""
     step_fn = make_raw_train_step(model, tx, task)

@@ -123,9 +123,9 @@ def test_scan_train_step_matches_sequential_batches():
         s1, m = single(s1, design, ids, mask)
         losses.append(float(m["loss"]))
 
-    scan3 = make_scan_train_step(model, tx, 2, donate=False)
+    scan = make_scan_train_step(model, tx, donate=False)
     ids2d = jnp.stack([b1[0], b2[0]])
     mask2d = jnp.stack([b1[1], b2[1]])
-    s2, mets = scan3(state, design, ids2d, mask2d)
+    s2, mets = scan(state, design, ids2d, mask2d)
     np.testing.assert_allclose(np.asarray(mets["loss"]), losses, rtol=1e-5)
     assert int(s2.step) == 2
