@@ -127,3 +127,68 @@ def test_sram_feature_defaults(built):
     # O[0] has no report trans -> per-cell minimum fallback (from O[1])
     o0 = feats["cell_feat"][n2i["m0/O[0]"]]
     assert o0[num_ctypes + 2] == pytest.approx(0.1)
+
+
+def test_icg_feature_special_case():
+    """ICG cells get trans=4/delay=0 regardless of report values
+    (reference dataset.py:227-229)."""
+    icg_cell = {
+        "type": "ICG", "load": 1.8, "area": 2.0, "width": 1.2,
+        "height": 0.27,
+        "pin_info": {
+            "CLK": {"capacitance": "1.0", "max_capacitance": "",
+                    "direction": "input"},
+            "EN": {"capacitance": "0.8", "max_capacitance": "",
+                   "direction": "input"},
+            "GCLK": {"capacitance": "", "max_capacitance": "20.0",
+                     "direction": "output"},
+        },
+    }
+    cim = {"ICGx1_ASAP7_75t_R": icg_cell, "DFFHQNx1": DFF_CELL}
+    lib = {
+        "ICGx1_ASAP7_75t_R": {"pin_info": {
+            "CLK": {"direction": "input"},
+            "EN": {"direction": "input"},
+            "GCLK": {"direction": "output", "timing_tabs": {"CLK": {}}},
+        }},
+        "DFFHQNx1": {"pin_info": {
+            "D": {"direction": "input"},
+            "CLK": {"direction": "input"},
+            "QN": {"direction": "output", "timing_tabs": {"CLK": {}}},
+        }},
+    }
+    netlist = """
+    module top ( clk, en );
+      input clk;
+      input en;
+      wire gclk;
+      wire q0;
+      ICGx1_ASAP7_75t_R icg0 ( .CLK(clk), .EN(en), .GCLK(gclk) );
+      DFFHQNx1 r0 ( .D(en), .CLK(gclk), .QN(q0) );
+    endmodule
+    """
+    from prtp_tpu.data.netlist import NetlistBuilder
+    from prtp_tpu.data.timing_report import TimingPath
+    b = NetlistBuilder("top", "critical", cim, lib, map_size=16)
+    pins = ["icg0/CLK", "icg0/EN", "icg0/GCLK", "r0/D", "r0/CLK", "r0/QN",
+            "clk/clk", "en/en"]
+    b.pin_loc_map = {p: (float(i), float(i), i % 16, i % 16)
+                     for i, p in enumerate(pins)}
+    path = TimingPath(start="r0/CLK", end="r0/D",
+                      path=["icg0/GCLK", "r0/CLK"],
+                      nets=set(), required_time=5.0, arrival_time=1.0)
+    # give the report a trans value that must be IGNORED for ICG
+    b.db.pin2trans["icg0/GCLK"] = 0.7
+    b.db.pin2delay["icg0/GCLK"] = 0.9
+    # r0/CLK -> ... path check needs GCLK->r0/CLK net edge; is_register(ICG)
+    # means only clk->GCLK cell edge exists
+    result = b.build(netlist, [path])
+    edges = set((u, v) for u, v, t in result["edges"] if t == "cell")
+    assert ("icg0/CLK", "icg0/GCLK") in edges
+    assert ("icg0/EN", "icg0/GCLK") not in edges  # ICG is a register type
+    feats = extract_features(result, cim, {"DFFHQN": 0, "ICG": 1})
+    n2i = feats["node2id"]
+    nc = feats["num_ctypes"]
+    gclk = feats["cell_feat"][n2i["icg0/GCLK"]]
+    assert gclk[nc + 2] == pytest.approx(4.0)   # trans forced to 4
+    assert gclk[nc + 3] == pytest.approx(0.0)   # delay forced to 0
