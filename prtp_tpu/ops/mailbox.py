@@ -15,7 +15,6 @@ from __future__ import annotations
 import functools
 
 import jax
-import jax.numpy as jnp
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))

@@ -14,7 +14,6 @@ MXU-shaped work instead of per-level host->device sparse transfers.
 
 from __future__ import annotations
 
-import jax.numpy as jnp
 
 
 def masked_feature_rows(masks_u8, path_ids, feat_map):

@@ -19,7 +19,6 @@ zero loss weight).
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

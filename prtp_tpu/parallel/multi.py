@@ -19,7 +19,7 @@ import optax
 
 from ..trainer import TrainState
 from ..utils import metrics as M
-from .mesh import DP_AXIS, batch_sharding, replicated
+from .mesh import batch_sharding, replicated
 
 
 def _batched_forward(model, params, designs, path_ids, train=False):

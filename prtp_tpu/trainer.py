@@ -14,7 +14,7 @@ design compiles exactly one step executable.
 from __future__ import annotations
 
 import functools
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import jax.numpy as jnp
