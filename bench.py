@@ -55,12 +55,11 @@ def bench_tpu(parsed):
     from prtp_tpu.trainer import (init_state, make_multi_train_step,
                                   make_optimizer, pad_batch)
 
-    design = pack_design(parsed, map_size=MAP_SIZE)
-    # full scan unroll: the target chip is kernel-launch-bound, so the
-    # fewest sequential fused regions wins (see MODEL_NOTES.md)
+    # exact-levels packing: per-level true shapes, python-unrolled GNN —
+    # no padded compute, fewest sequential fused regions (MODEL_NOTES.md)
+    design = pack_design(parsed, map_size=MAP_SIZE, exact_levels=True)
     model = PathModel(out_dim=OUT_DIM, hidden_dim=HIDDEN,
-                      cnn_outdim=OUT_DIM, map_size=MAP_SIZE,
-                      gnn_unroll=True)
+                      cnn_outdim=OUT_DIM, map_size=MAP_SIZE)
     tx = make_optimizer(1e-3)
     state = init_state(model, tx, design, jax.random.PRNGKey(0))
     # N steps per dispatch: measures device throughput, not the

@@ -269,16 +269,129 @@ def pack_leveled_graph(parsed, align=128, pad_to=None,
     return graph, node_row, num_rows
 
 
-def _remap_rows(values, node_row, num_rows, dtype=np.float32):
-    """Old node-id array -> state-row array (padded rows zero)."""
-    values = np.asarray(values, dtype=dtype)
-    out = np.zeros((num_rows + 1,) + values.shape[1:], dtype=dtype)
-    out[node_row[node_row < num_rows]] = values[node_row < num_rows]
-    return out
+@struct.dataclass
+class LeveledGraphExact:
+    """Exact-shape variant: per-pair tables as tuples of arrays with the
+    TRUE level sizes (no shared padding) — the GNN unrolls a python loop
+    over pairs, so XLA specializes every level and no compute is spent
+    on padding. Strictly better than the padded scan when level sizes
+    vary widely (real netlists: huge early levels, thin tails); costs
+    one compiled region set per level instead of one shared body.
+
+    Row layout matches LeveledGraph (level-contiguous, exact strides).
+    """
+
+    cell_feat_lvl: tuple  # P x (n_c_k, Fc)
+    net_feat_lvl: tuple   # P x (n_n_k, Fn)
+    cell_mail: tuple      # P x (n_c_k, md_c_k) int32, pad = num_rows
+    net_mail: tuple       # P x (n_n_k, md_n_k) int32
+    cell_rev_pos: tuple   # P x (e_c_k,) int32
+    cell_rev_rows: tuple  # P x (e_c_k,) int32 sorted asc
+    net_rev_pos: tuple    # P x (e_n_k,)
+    net_rev_rows: tuple   # P x (e_n_k,)
+    cell_off: tuple = struct.field(pytree_node=False, default=())
+    net_off: tuple = struct.field(pytree_node=False, default=())
+    num_rows_static: int = struct.field(pytree_node=False, default=0)
+
+    @property
+    def num_pairs(self) -> int:
+        return len(self.cell_feat_lvl)
+
+    @property
+    def num_rows(self) -> int:
+        return self.num_rows_static
+
+
+def pack_leveled_graph_exact(parsed, compute_dtype=jnp.float32):
+    """Exact-shape packer: level-contiguous rows with TRUE level sizes."""
+    levels = parsed["levels"]
+    n = int(parsed["num_nodes"])
+    n_levels = len(levels)
+    n_pairs = (n_levels + 1) // 2
+
+    # exact row layout
+    node_row = np.full(n, -1, dtype=np.int64)
+    node_level = np.full(n, -1, dtype=np.int64)
+    cell_off, net_off = [], []
+    off = 0
+    sizes = []
+    for li in range(2 * n_pairs):
+        ids = (np.asarray(levels[li][0], dtype=np.int64)
+               if li < n_levels else np.zeros(0, np.int64))
+        if li % 2 == 0:
+            cell_off.append(off)
+        else:
+            net_off.append(off)
+        node_row[ids] = off + np.arange(len(ids))
+        node_level[ids] = li
+        sizes.append(max(len(ids), 1))
+        off += max(len(ids), 1)
+    num_rows = off
+
+    fc = parsed["cell_feat"].shape[1]
+    fn = parsed["net_feat"].shape[1]
+    cell_feat_l, net_feat_l = [], []
+    for li in range(2 * n_pairs):
+        ids = (np.asarray(levels[li][0], dtype=np.int64)
+               if li < n_levels else np.zeros(0, np.int64))
+        feat_key = "cell_feat" if li % 2 == 0 else "net_feat"
+        width = fc if li % 2 == 0 else fn
+        block = np.zeros((max(len(ids), 1), width), np.float32)
+        if len(ids):
+            block[: len(ids)] = parsed[feat_key][ids]
+        (cell_feat_l if li % 2 == 0 else net_feat_l).append(block)
+
+    def per_level_tables(parity, edges):
+        src, dst = (np.asarray(edges[0], np.int64),
+                    np.asarray(edges[1], np.int64))
+        lev = node_level[dst]
+        mails, rposs, rrows = [], [], []
+        offsets = cell_off if parity == 0 else net_off
+        blocks = cell_feat_l if parity == 0 else net_feat_l
+        for k in range(n_pairs):
+            li = 2 * k + parity
+            sel = lev == li
+            e_src = node_row[src[sel]].astype(np.int32)
+            slot = (node_row[dst[sel]] - offsets[k]).astype(np.int32)
+            order = np.argsort(slot, kind="stable")
+            e_src, slot = e_src[order], slot[order]
+            pn = blocks[k].shape[0]
+            md = 1
+            if len(slot):
+                md = max(1, int(np.bincount(slot).max()))
+            mail = np.full((pn, md), num_rows, np.int32)
+            pos = np.arange(len(slot)) - np.searchsorted(slot, slot)
+            mail[slot, pos] = e_src
+            flat = (slot.astype(np.int64) * md + pos).astype(np.int32)
+            order2 = np.argsort(e_src, kind="stable")
+            mails.append(mail)
+            rposs.append(flat[order2])
+            rrows.append(e_src[order2].astype(np.int32))
+        return mails, rposs, rrows
+
+    cm, crp, crr = per_level_tables(0, parsed["cell_edges"])
+    nm, nrp, nrr = per_level_tables(1, parsed["net_edges"])
+
+    graph = LeveledGraphExact(
+        cell_feat_lvl=tuple(jnp.asarray(b, dtype=compute_dtype)
+                            for b in cell_feat_l),
+        net_feat_lvl=tuple(jnp.asarray(b, dtype=compute_dtype)
+                           for b in net_feat_l),
+        cell_mail=tuple(jnp.asarray(m) for m in cm),
+        net_mail=tuple(jnp.asarray(m) for m in nm),
+        cell_rev_pos=tuple(jnp.asarray(r) for r in crp),
+        cell_rev_rows=tuple(jnp.asarray(r) for r in crr),
+        net_rev_pos=tuple(jnp.asarray(r) for r in nrp),
+        net_rev_rows=tuple(jnp.asarray(r) for r in nrr),
+        cell_off=tuple(cell_off),
+        net_off=tuple(net_off),
+        num_rows_static=num_rows,
+    )
+    return graph, node_row, num_rows
 
 
 def pack_design(parsed, map_size=128, align=128, compute_dtype=jnp.float32,
-                pad_to=None):
+                pad_to=None, exact_levels=False):
     """Pack a host-side parsed design (dict of numpy arrays) into DesignData.
 
     ``parsed`` keys (see prtp_tpu.data.dataset.ParsedDesign):
@@ -292,8 +405,14 @@ def pack_design(parsed, map_size=128, align=128, compute_dtype=jnp.float32,
     common bucket so multiple designs can be stacked (multi-design
     batching / design-axis data parallelism).
     """
-    graph, node_row, num_rows = pack_leveled_graph(
-        parsed, align=align, pad_to=pad_to, compute_dtype=compute_dtype)
+    if exact_levels:
+        assert pad_to is None, \
+            "exact_levels has true per-level shapes; bucketing unsupported"
+        graph, node_row, num_rows = pack_leveled_graph_exact(
+            parsed, compute_dtype=compute_dtype)
+    else:
+        graph, node_row, num_rows = pack_leveled_graph(
+            parsed, align=align, pad_to=pad_to, compute_dtype=compute_dtype)
 
     def remap(key, dtype=np.float32):
         vals = np.asarray(parsed[key], dtype=dtype).reshape(-1)

@@ -173,7 +173,10 @@ class TimeGNN(nn.Module):
     pallas_interpret: bool = False  # interpreter mode (CPU testing)
 
     @nn.compact
-    def __call__(self, g: LeveledGraph, h0=None):
+    def __call__(self, g, h0=None):
+        from ..graph import LeveledGraphExact
+        if isinstance(g, LeveledGraphExact):
+            return self._call_exact(g, h0)
         num_rows = g.num_rows
         stride = g.pn_c + g.pn_n
         h = (h0 if h0 is not None
@@ -213,4 +216,40 @@ class TimeGNN(nn.Module):
             pallas_interpret=self.pallas_interpret,
             name="pair_step",
         )(h, xs)
+        return h
+
+    def _call_exact(self, g, h0=None):
+        """Exact-shape path: python loop over pairs, one shared-param
+        _PairStep applied per pair with that pair's true shapes (no
+        padded compute). Mailbox reduce only."""
+        assert self.reduce_mode == "mailbox", \
+            "exact-levels mode supports the mailbox reduce"
+        num_rows = g.num_rows
+        h = (h0 if h0 is not None
+             else jnp.zeros((num_rows + 1, self.out_dim),
+                            dtype=g.cell_feat_lvl[0].dtype))
+        step = _PairStep(
+            out_dim=self.out_dim,
+            num_rows=num_rows,
+            hidden_dim=self.hidden_dim,
+            flag_attn=self.flag_attn,
+            reduce_mode="mailbox",
+            pallas_interpret=self.pallas_interpret,
+            name="pair_step",
+        )
+        for k in range(g.num_pairs):
+            xs = {
+                "pair_idx": jnp.asarray(k, jnp.int32),
+                "cell_off": g.cell_off[k],
+                "net_off": g.net_off[k],
+                "cell_feat": g.cell_feat_lvl[k],
+                "net_feat": g.net_feat_lvl[k],
+                "cell_mail": g.cell_mail[k],
+                "net_mail": g.net_mail[k],
+                "cell_rev_pos": g.cell_rev_pos[k],
+                "cell_rev_rows": g.cell_rev_rows[k],
+                "net_rev_pos": g.net_rev_pos[k],
+                "net_rev_rows": g.net_rev_rows[k],
+            }
+            h, _ = step(h, xs)
         return h

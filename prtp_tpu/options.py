@@ -102,6 +102,11 @@ def get_options(args=None):
                      help="dtype for GNN/CNN activations")
     tpu.add_argument("--pallas", action="store_true",
                      help="use Pallas fused gather/segment kernels where available")
+    tpu.add_argument("--exact_levels", action="store_true",
+                     help="pack each design with true per-level shapes and "
+                          "python-unroll the GNN (no padded compute; fastest "
+                          "per design, one compile per design shape — "
+                          "disables cross-design bucketing)")
     tpu.add_argument("--gnn_unroll", type=int, default=1,
                      help="lax.scan unroll factor over GNN level pairs; "
                           "0 = fully unroll (fastest on kernel-launch-bound "

@@ -109,17 +109,24 @@ def train(options, seed):
     compute_dtype = (jnp.bfloat16 if options.compute_dtype == "bfloat16"
                      else jnp.float32)
 
-    # Bucket all designs to one padded shape so the train and eval steps
-    # compile exactly once (the reference re-runs eager per design; here
-    # per-design shapes would mean one XLA compile each).
-    all_designs = sorted(set(train_designs) | set(val_designs))
-    bucket = bucket_shape(
-        [load_design_npz(os.path.join(options.data_save_path, f"{d}.npz"))
-         for d in all_designs], map_size=options.map_size)
+    if options.exact_levels:
+        # true per-level shapes, python-unrolled GNN: fastest per design,
+        # one compile per design shape
+        bucket = None
+    else:
+        # Bucket all designs to one padded shape so the train and eval
+        # steps compile exactly once (per-design shapes would mean one
+        # XLA compile each).
+        all_designs = sorted(set(train_designs) | set(val_designs))
+        bucket = bucket_shape(
+            [load_design_npz(os.path.join(options.data_save_path,
+                                          f"{d}.npz"))
+             for d in all_designs], map_size=options.map_size)
 
     def packer(parsed):
         return pack_design(parsed, map_size=options.map_size,
-                           compute_dtype=compute_dtype, pad_to=bucket)
+                           compute_dtype=compute_dtype, pad_to=bucket,
+                           exact_levels=options.exact_levels)
 
     cache_tr = DesignCache(packer)
     cache_val = DesignCache(packer)

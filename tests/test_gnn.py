@@ -68,3 +68,25 @@ def test_timegnn_attention_variant_runs():
     params = model.init(jax.random.PRNGKey(3), lg)
     h = np.array(model.apply(params, lg))
     assert np.all(np.isfinite(h))
+
+
+def test_exact_levels_matches_padded():
+    """Exact-shape unrolled packing == padded scan packing (same params)."""
+    from prtp_tpu.graph import pack_leveled_graph_exact
+    rng = np.random.default_rng(17)
+    g = make_random_leveled_graph(rng, level_sizes=(5, 8, 6, 9, 4, 7))
+    lg_pad, row_pad = _pack(g)
+    lg_ex, row_ex, _nr = pack_leveled_graph_exact(g)
+    model = TimeGNN(out_dim=16, hidden_dim=32)
+    params = model.init(jax.random.PRNGKey(0), lg_pad)
+    h_pad = np.array(model.apply(params, lg_pad))
+    h_ex = np.array(model.apply(params, lg_ex))
+    np.testing.assert_allclose(h_ex[row_ex], h_pad[row_pad],
+                               rtol=1e-4, atol=1e-5)
+    # grads flow in exact mode
+    def loss(p):
+        return jnp.sum(model.apply(p, lg_ex)[jnp.asarray(row_ex)] ** 2)
+    grads = jax.grad(loss)(params)
+    total = sum(float(np.abs(np.asarray(x)).sum())
+                for x in jax.tree_util.tree_leaves(grads))
+    assert np.isfinite(total) and total > 0
