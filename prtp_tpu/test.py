@@ -66,15 +66,19 @@ def test(options, designs):
     parsed_all = [_feat_adjusted(load_design_npz(
         os.path.join(options.data_save_path, f"{d}.npz")), options)
         for d in designs]
-    # one padded bucket across designs => a single eval-step compile
-    bucket = bucket_shape(parsed_all, map_size=options.map_size)
+    # one padded bucket across designs => a single eval-step compile;
+    # --exact_levels trades that for zero padded compute per design
+    exact = getattr(options, "exact_levels", False)
+    bucket = (None if exact
+              else bucket_shape(parsed_all, map_size=options.map_size))
     first_pack = pack_design(parsed_all[0], map_size=options.map_size,
-                             pad_to=bucket)
+                             pad_to=bucket, exact_levels=exact)
     model, state, _config = load_model_state(options, first_pack)
     eval_step = make_eval_step(model, options.task)
 
     for case_idx, (design, parsed) in enumerate(zip(designs, parsed_all)):
-        pack = pack_design(parsed, map_size=options.map_size, pad_to=bucket)
+        pack = pack_design(parsed, map_size=options.map_size, pad_to=bucket,
+                           exact_levels=exact)
         start_time = time()
         all_ids = np.arange(parsed["num_paths"], dtype=np.int64)
         pids, mask = pad_batch(all_ids, pack.num_paths)
