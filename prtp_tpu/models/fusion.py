@@ -22,7 +22,6 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from ..graph import DesignData
-from ..ops.masked_fcn import masked_feature_rows
 from .gnn import TimeGNN
 from .layoutnet import LayoutNet
 from .unet import UNet
@@ -62,7 +61,16 @@ class PathModel(nn.Module):
         if self.use_cnn:
             self.cnn = (UNet(self.pooling) if self.unet
                         else LayoutNet(self.pooling))
-            self.fcn = nn.Dense(self.cnn_outdim)  # Linear(map^2 -> cnn_outdim)
+            # Linear(map^2 -> cnn_outdim) (src/train.py:71), applied via
+            # the algebra fcn(mask * f) = mask @ (f[:,None] * W) + b so
+            # the uint8 mask rows feed the MXU directly (no (B, map^2)
+            # float elementwise product materialized per batch)
+            msq = self.map_size * self.map_size
+            self.fcn_kernel = self.param(
+                "fcn_kernel", nn.initializers.xavier_uniform(),
+                (msq, self.cnn_outdim))
+            self.fcn_bias = self.param(
+                "fcn_bias", nn.initializers.zeros, (self.cnn_outdim,))
         self.mlp_alpha = MLP((self.global_dim * 2, self.global_dim))
         fuse_in = ((self.out_dim if self.use_gnn else 0)
                    + (self.cnn_outdim if self.use_cnn else 0)
@@ -89,9 +97,9 @@ class PathModel(nn.Module):
             parts.append(h[endpoints])
         if self.use_cnn:
             feat_map = self.cnn(design.cnn_input, train=train).reshape(-1)
-            path_map = masked_feature_rows(
-                design.path_masks, path_ids, feat_map)
-            parts.append(self.fcn(path_map))
+            fw = feat_map[:, None] * self.fcn_kernel  # (map^2, outdim)
+            rows = design.path_masks[path_ids].astype(fw.dtype)
+            parts.append(rows @ fw + self.fcn_bias)
         parts.append(self.mlp_alpha(levels[:, None]))
         hcat = jnp.concatenate(parts, axis=1)
         out = self.mlp_fuse(hcat)

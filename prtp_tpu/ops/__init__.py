@@ -5,4 +5,3 @@ from .segment import (  # noqa: F401
     segment_softmax_sum,
     segment_weighted_softmax_sum,
 )
-from .masked_fcn import masked_feature_rows  # noqa: F401
