@@ -95,7 +95,7 @@ def main(argv=None):
     rawdata_path = options.rawdata_path
     data_save_path = options.data_save_path
     os.makedirs(data_save_path, exist_ok=True)
-    done = []
+    todo = []
     for design in sorted(os.listdir(rawdata_path)):
         if design in SKIP_ENTRIES or design.endswith(".json"):
             continue
@@ -107,10 +107,27 @@ def main(argv=None):
         if os.path.exists(out):
             print(f"Design {design} already parsed! Skip")
             continue
-        print(f"-------- Parsing design: {design}...")
-        generate_one(rawdata_path, design, data_save_path, options.masking,
-                     map_size=options.map_size)
-        done.append(design)
+        todo.append(design)
+
+    workers = min(getattr(options, "preprocess_workers", 1), len(todo)) \
+        if todo else 0
+    done = []
+    if workers > 1:
+        # designs are independent — parse in parallel processes (the
+        # reference preprocesses serially, src/generate_data.py:34)
+        import multiprocessing as mp
+        with mp.get_context("spawn").Pool(workers) as pool:
+            args = [(rawdata_path, d, data_save_path, options.masking,
+                     options.map_size) for d in todo]
+            for d, _ in zip(todo, pool.starmap(generate_one, args)):
+                print(f"-------- Parsed design: {d}")
+                done.append(d)
+    else:
+        for design in todo:
+            print(f"-------- Parsing design: {design}...")
+            generate_one(rawdata_path, design, data_save_path,
+                         options.masking, map_size=options.map_size)
+            done.append(design)
     # default design lists if absent: all designs train + test
     all_designs = [d[:-4] for d in sorted(os.listdir(data_save_path))
                    if d.endswith(".npz")]

@@ -127,6 +127,11 @@ def get_options(args=None):
                           "the reference's set_detect_anomaly, src/train.py:452)")
     tpu.add_argument("--profile_dir", type=str, default=None,
                      help="write a jax.profiler trace of the train loop here")
+    tpu.add_argument("--preprocess_workers", type=int, default=1,
+                     help="parallel worker processes for dataset generation "
+                          "(designs are independent; reference is serial). "
+                          "Spawn startup is ~3s/worker — worth it for "
+                          "minutes-long designs, not tiny ones.")
 
     options = parser.parse_args(args)
     return options
