@@ -217,7 +217,11 @@ class _Circuit:
             start, end, rows = self.path_pins(i)
             n_arcs = sum(1 for _p, a, _c in rows if a and "->" in a)
             delay = 0.2
-            arrival = round(0.1 + n_arcs * delay + 0.01 * i + jitter, 4)
+            # arrival is a pure function of the path's arc count (chain
+            # depth) so it is fully determined by observable features —
+            # a per-path index term would put an un-learnable floor under
+            # validation R^2 on this corpus
+            arrival = round(0.1 + n_arcs * delay + jitter, 4)
             critical = post_route and (i % 3 == 2)
             required = round(arrival - 0.5, 4) if critical else 5.0
             state = "VIOLATED" if critical else "MET"
