@@ -59,6 +59,20 @@ CELLS = {
                   "direction": "output"},
         },
     },
+    "SRAM2RW16x16": {
+        "type": "SRAM", "load": 3.0, "area": 120.0, "width": 24.0,
+        "height": 5.0,
+        "pin_info": {
+            "CLK": {"capacitance": "2.1", "max_capacitance": "",
+                    "direction": "input"},
+            "CE": {"capacitance": "1.4", "max_capacitance": "",
+                   "direction": "input"},
+            "A": {"capacitance": "", "max_capacitance": "",
+                  "direction": "input"},
+            "O": {"capacitance": "", "max_capacitance": "",
+                  "direction": "output"},
+        },
+    },
     "DFFHQNx1_ASAP7_75t_R": {
         "type": "DFFHQN", "load": 2.0, "area": 2.4, "width": 1.62,
         "height": 0.27,
@@ -177,6 +191,16 @@ class _Circuit:
                 f".CLK(clk), .QN(qq{i}) );")
             for pin, dx in (("D", 0), ("CLK", 1), ("QN", 2)):
                 self._pos(f"K{i}/{pin}", 20 + 30 * self.depths[i] + dx, y)
+        if R >= 2:
+            # one SRAM macro per design: exercises parse_RAM end-to-end
+            # (bus pins, timing_tabs-gated CLK/CE edges, cap defaults)
+            lines.append("  wire [1:0] mem_o;")
+            body.append(
+                "  SRAM2RW16x16 mem0 ( .CLK(clk), .CE(pi_s0), "
+                ".A({pi_d1, pi_d0}), .O(mem_o) );")
+            for pin, dx in (("CLK", 0), ("CE", 1), ("A[0]", 2), ("A[1]", 3),
+                            ("O[0]", 4), ("O[1]", 5)):
+                self._pos(f"mem0/{pin}", 460 + dx, 480)
         lines += body
         lines.append("endmodule")
         # driverless-net pseudo-pin positions ({net}/{net} lookups)

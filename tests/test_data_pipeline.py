@@ -142,6 +142,11 @@ def test_netlist_builder_structure(corpus):
     # endpoints land in levels with their path ids
     all_path_ids = [p for (_n, _t, pids) in levels for p in pids]
     assert sorted(all_path_ids) == list(range(result["num_paths"]))
+    # SRAM macro pins exist per bus bit with timing_tabs-gated edges
+    assert "mem0/O[1]" in result["node_attrs"]
+    cell_edges = set((u, v) for u, v, t in result["edges"] if t == "cell")
+    assert ("mem0/CLK", "mem0/O[0]") in cell_edges
+    assert ("mem0/A[0]", "mem0/O[0]") not in cell_edges
     # hierarchy: sub-module pins exist with traced global nets
     assert "s0/g1/A" in result["node_attrs"]
     assert result["node_attrs"]["s0/g1/A"]["net"] == "q0"
@@ -179,7 +184,7 @@ def test_features_and_labels(parsed_design):
     parsed, _save = parsed_design
     n = parsed["num_nodes"]
     num_ctypes = parsed["num_ctypes"]
-    assert num_ctypes == 5  # BUF, DFFHQN, INV, NAND + appended SRAM
+    assert num_ctypes == 5  # BUF, DFFHQN, INV, NAND, SRAM (native)
     assert parsed["cell_feat"].shape == (n, num_ctypes + 8)
     assert parsed["net_feat"].shape == (n, 3)
     # cell features only on drive pins: one-hot sums to 1 there
@@ -200,10 +205,12 @@ def test_features_and_labels(parsed_design):
 
 
 def test_num_ctypes_value(corpus):
-    # sorted ctypes BUF,DFFHQN,INV,NAND -> 4, +SRAM = 5... guard the count
+    # BUF, DFFHQN, INV, NAND, SRAM — SRAM is native here, and the loader
+    # must not append a duplicate
     with open(os.path.join(corpus, "ctype2id.json")) as f:
         c2i = json.load(f)
-    assert len(c2i) == 4
+    assert len(c2i) == 5
+    assert "SRAM" in c2i
 
 
 # -------------------------------------------------------------- loader
