@@ -1,0 +1,35 @@
+"""The driver's multichip dryrun must work from a CLEAN process.
+
+Round-1 failure mode: the driver runs
+    python -c "import __graft_entry__; __graft_entry__.dryrun_multichip(8)"
+with NO XLA_FLAGS and the container-pinned JAX_PLATFORMS=axon (one real
+device). dryrun_multichip must bootstrap its own virtual CPU mesh via a
+re-exec'd child rather than demanding env vars from the caller.
+"""
+
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_dryrun_multichip_from_clean_subprocess():
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    env["JAX_PLATFORMS"] = "axon"  # the container's pinned default
+    code = "import __graft_entry__ as g; g.dryrun_multichip(8)"
+    proc = subprocess.run(
+        [sys.executable, "-c", code], env=env, cwd=REPO,
+        capture_output=True, text=True, timeout=900)
+    assert proc.returncode == 0, (
+        f"rc={proc.returncode}\nstdout:\n{proc.stdout}\n"
+        f"stderr:\n{proc.stderr}")
+    assert "dryrun_multichip(8): ok" in proc.stdout, proc.stdout
+
+
+def test_dryrun_multichip_in_process():
+    # Under pytest the conftest already forced an 8-device CPU platform;
+    # the fast path must run the step in-process without re-exec.
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(8)
