@@ -412,8 +412,12 @@ class NetlistBuilder:
     def _topo_levels(self, succs, pis, pos, po2path):
         """Forward BFS levels + reverse de-dup so each node lands in its
         deepest level; prune nodes in no level (reference :1452-1517)."""
-        levels = [list(pis)]
-        cur = list(pis)
+        # Sorted everywhere a set feeds an ordered structure: node ids,
+        # every packed array, and the .npz bytes all derive from level
+        # order, so string-set iteration (PYTHONHASHSEED-dependent) would
+        # make preprocessing nondeterministic across runs/workers.
+        levels = [sorted(pis)]
+        cur = levels[0]
         remaining = set(pis)
         while True:
             nxt = set()
@@ -421,7 +425,7 @@ class NetlistBuilder:
                 nxt.update(succs.get(nd, ()))
             if not nxt:
                 break
-            cur = list(nxt)
+            cur = sorted(nxt)
             levels.append(cur)
             remaining |= nxt
         visited: Set[str] = set()
@@ -429,7 +433,7 @@ class NetlistBuilder:
         for rlevel in reversed(levels):
             new_rlevel = set(rlevel) - visited
             visited |= new_rlevel
-            new_rlevel = list(new_rlevel)
+            new_rlevel = sorted(new_rlevel)
             targets = [nd for nd in new_rlevel if nd in pos]
             path_ids = [po2path[t] for t in targets]
             rev.append((new_rlevel, targets, path_ids))
