@@ -44,6 +44,7 @@ class PathModel(nn.Module):
     gnn_unroll: int | bool = 1
     gnn_reduce: str = "mailbox"  # 'mailbox' | 'segment' | 'pallas'
     pallas_interpret: bool = False
+    dgl_parity: bool = True  # exact DGL pull semantics (models.gnn)
 
     def setup(self):
         assert self.use_gnn or self.use_cnn, \
@@ -57,6 +58,7 @@ class PathModel(nn.Module):
                 unroll=self.gnn_unroll,
                 reduce_mode=self.gnn_reduce,
                 pallas_interpret=self.pallas_interpret,
+                dgl_parity=self.dgl_parity,
             )
         if self.use_cnn:
             self.cnn = (UNet(self.pooling) if self.unet
@@ -129,4 +131,5 @@ def model_from_options(options):
         num_heads=options.num_heads,
         gnn_reduce="pallas" if use_pallas else "mailbox",
         pallas_interpret=use_pallas and jax.default_backend() != "tpu",
+        dgl_parity=getattr(options, "dgl_parity", True),
     )

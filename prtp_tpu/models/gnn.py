@@ -65,6 +65,13 @@ class _PairStep(nn.Module):
     flag_attn: bool = False
     reduce_mode: str = "mailbox"
     pallas_interpret: bool = False
+    # DGL graph.pull does NOT update a pulled node whose mailbox is
+    # empty (no in-edges of the level's etype) — not even the apply
+    # function runs. With dgl_parity the update is masked by in-degree,
+    # so e.g. level-0 PIs (no cell in-edges) keep h = 0 exactly as the
+    # reference does; apply_cell_func_level0 (src/model.py:148-153)
+    # only ever fires for level-0 nodes that DO have cell in-edges.
+    dgl_parity: bool = True
 
     def setup(self):
         # widths mirror src/model.py:48-54 (256-wide single hidden layer)
@@ -113,6 +120,26 @@ class _PairStep(nn.Module):
         cnt = jnp.maximum(valid.sum(axis=1).astype(m.dtype), 1.0)
         return s / cnt
 
+    def _has_in(self, xs, half, pn):
+        """(pn,) bool — does each level node have >= 1 in-edge of the
+        half's etype? (the DGL pull update mask)"""
+        if self.reduce_mode == "mailbox":
+            return (xs[f"{half}_mail"] != self.num_rows).any(axis=1)
+        ones = jnp.ones((xs[f"{half}_dst_slot"].shape[0], 1), jnp.float32)
+        cnt = segment_sum(ones, xs[f"{half}_dst_slot"], pn + 1)[:pn, 0]
+        return cnt > 0
+
+    def _masked_update(self, h, h_new, off, has_in):
+        """DGL-parity write: updated rows take h_new; empty-mailbox rows
+        keep their carried value, passed through the same post-pull ReLU
+        the reference applies to ALL level nodes (src/model.py:208)."""
+        if self.dgl_parity:
+            old = jax.lax.dynamic_slice(
+                h, (off, 0), (h_new.shape[0], h.shape[1]))
+            h_new = jnp.where(has_in[:, None], h_new, jax.nn.relu(old))
+        return jax.lax.dynamic_update_slice(h, h_new.astype(h.dtype),
+                                            (off, 0))
+
     def __call__(self, h, xs):
         pn_c = xs["cell_feat"].shape[0]
         pn_n = xs["net_feat"].shape[0]
@@ -142,8 +169,8 @@ class _PairStep(nn.Module):
         # src/model.py:148-153); its mailboxes are empty anyway.
         gate = jnp.where(xs["pair_idx"] == 0, 0.0, 1.0).astype(h.dtype)
         h_new = jax.nn.relu(h_self + gate * self.fc_cell_neigh(neigh))
-        h = jax.lax.dynamic_update_slice(h, h_new.astype(h.dtype),
-                                         (xs["cell_off"], 0))
+        h = self._masked_update(h, h_new, xs["cell_off"],
+                                self._has_in(xs, "cell", pn_c))
 
         # ---- net half (odd level) ----
         if mailbox:
@@ -154,8 +181,8 @@ class _PairStep(nn.Module):
             sums = segment_sum(msg_n, xs["net_dst_slot"], pn_n + 1)[:pn_n]
             neigh_n = sums / xs["net_cnt"][:, None]
         h_new_n = jax.nn.relu(self.fc_net_self(xs["net_feat"]) + neigh_n)
-        h = jax.lax.dynamic_update_slice(h, h_new_n.astype(h.dtype),
-                                         (xs["net_off"], 0))
+        h = self._masked_update(h, h_new_n, xs["net_off"],
+                                self._has_in(xs, "net", pn_n))
         return h, None
 
 
@@ -171,6 +198,7 @@ class TimeGNN(nn.Module):
     unroll: int | bool = 1  # lax.scan unroll factor over level pairs
     reduce_mode: str = "mailbox"  # 'mailbox' | 'segment' | 'pallas'
     pallas_interpret: bool = False  # interpreter mode (CPU testing)
+    dgl_parity: bool = True  # exact DGL pull semantics (see _PairStep)
 
     @nn.compact
     def __call__(self, g, h0=None):
@@ -214,6 +242,7 @@ class TimeGNN(nn.Module):
             flag_attn=self.flag_attn,
             reduce_mode=self.reduce_mode,
             pallas_interpret=self.pallas_interpret,
+            dgl_parity=self.dgl_parity,
             name="pair_step",
         )(h, xs)
         return h
@@ -235,6 +264,7 @@ class TimeGNN(nn.Module):
             flag_attn=self.flag_attn,
             reduce_mode="mailbox",
             pallas_interpret=self.pallas_interpret,
+            dgl_parity=self.dgl_parity,
             name="pair_step",
         )
         for k in range(g.num_pairs):

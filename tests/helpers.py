@@ -70,9 +70,15 @@ def mlp_apply(p, x):
     return x
 
 
-def naive_timegnn_forward(params, g, out_dim):
+def naive_timegnn_forward(params, g, out_dim, dgl_parity=True):
     """Direct per-level numpy implementation of the reference PathConv
-    semantics (src/model.py:158-213) for comparison against the scan."""
+    semantics (src/model.py:158-213) for comparison against the scan.
+
+    ``dgl_parity`` mirrors the model flag: DGL ``graph.pull`` skips
+    nodes whose mailbox is empty (no in-edges of the level's etype), so
+    those keep their carried state (ReLU'd, per the post-pull in-place
+    activation over all level nodes, src/model.py:208).
+    """
     pp = params["params"]["gnn"]["pair_step"] if "gnn" in params["params"] \
         else params["params"]["pair_step"]
     n = g["num_nodes"]
@@ -86,14 +92,16 @@ def naive_timegnn_forward(params, g, out_dim):
     for li, (nodes, _t, _p) in enumerate(g["levels"]):
         for v in nodes:
             v = int(v)
+            ins = (net_in if li % 2 == 1 else cell_in).get(v, [])
+            if dgl_parity and not ins:
+                h[v] = np.maximum(h[v], 0.0)
+                continue
             if li % 2 == 1:  # net level
-                ins = net_in.get(v, [])
                 neigh = h[ins].mean(axis=0) if ins else np.zeros(out_dim)
                 val = mlp_apply(pp["fc_net_self"], g["net_feat"][v]) + neigh
             elif li == 0:
                 val = mlp_apply(pp["fc_cell_self"], g["cell_feat"][v])
             else:
-                ins = cell_in.get(v, [])
                 if ins:
                     m = h[ins]  # (k, D)
                     mx = m.max(axis=0)
