@@ -113,6 +113,11 @@ class PathModel(nn.Module):
 def model_from_options(options):
     """Build a PathModel from the parity CLI options (src/train.py:34-81)."""
     import jax
+    if getattr(options, "num_heads", 1) > 1:
+        raise NotImplementedError(
+            "--num_heads > 1 is not implemented (single-head attention "
+            "only; the reference declares the flag at src/options.py but "
+            "its multi-head path does not exist either)")
     use_pallas = getattr(options, "pallas", False)
     unroll = getattr(options, "gnn_unroll", 1)
     unroll = True if unroll == 0 else unroll

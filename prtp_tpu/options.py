@@ -88,7 +88,21 @@ def get_options(args=None):
     parser.add_argument("--attn", action="store_true",
                         help="apply the attention mechanism in the GNN")
     parser.add_argument("--num_heads", type=int, default=1,
-                        help="the number of heads for the attention mechanism")
+                        help="the number of heads for the attention mechanism "
+                             "(only 1 is implemented; the reference declares "
+                             "the flag but has no multi-head path either)")
+    # Commented-out in the reference (src/options.py:31,37-38) but part
+    # of its historical CLI surface — accepted here as no-ops so older
+    # experiment scripts that still pass them don't crash argparse.
+    parser.add_argument("--balanced", action="store_true",
+                        help="accepted for script compatibility; no-op "
+                             "(commented out in the reference)")
+    parser.add_argument("--data_info_txt", type=str, default=None,
+                        help="accepted for script compatibility; no-op "
+                             "(commented out in the reference)")
+    parser.add_argument("--data_usage", type=str, default=None,
+                        help="accepted for script compatibility; no-op "
+                             "(commented out in the reference)")
 
     # --- TPU-native additions (not in the reference) ---
     tpu = parser.add_argument_group("tpu", "TPU-native options (additive)")

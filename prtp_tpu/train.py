@@ -43,6 +43,15 @@ from .utils import metrics as M
 from .utils.tee import StderrTee, StdoutTee
 
 
+def next_val_trigger(bidx: int, num_batch: int, val_interval: int) -> int:
+    """Smallest batch index >= bidx at which the reference validates:
+    ``b % val_interval == 0 or b == num_batch - 1``
+    (src/train.py:566-568)."""
+    vi = max(int(val_interval), 1)
+    next_multiple = ((bidx + vi - 1) // vi) * vi
+    return min(next_multiple, num_batch - 1)
+
+
 def _load(usage, options, design):
     return load_single_design(
         usage, options.data_save_path, design,
@@ -192,6 +201,15 @@ def train(options, seed):
             bidx = 0
             while bidx < len(batches):
                 take = spd
+                # strict validation cadence: a dispatch chunk never runs
+                # past a validation trigger — it ends exactly ON the
+                # triggering batch, so validation (and best-checkpoint
+                # gating) happens after batch b precisely as the
+                # reference's every-val_interval policy does
+                # (src/train.py:566-568), while --steps_per_dispatch
+                # still amortizes dispatch latency between triggers.
+                take = min(take, next_val_trigger(
+                    bidx, num_batch, options.val_interval) - bidx + 1)
                 if options.max_steps:
                     # keep --max_steps a hard cap: never dispatch more
                     # steps than remain under it
@@ -210,9 +228,9 @@ def train(options, seed):
                           f"F1:{f1:.3f}")
                 total_steps += len(chunk)
                 end_idx = bidx + len(chunk) - 1
-                should_validate = any(
-                    (b % options.val_interval == 0) or b == num_batch - 1
-                    for b in range(bidx, end_idx + 1))
+                should_validate = (
+                    end_idx % options.val_interval == 0
+                    or end_idx == num_batch - 1)
                 bidx = end_idx + 1
                 if should_validate:
                     _res, val_f1, val_r2 = validate(
