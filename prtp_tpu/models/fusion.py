@@ -86,11 +86,16 @@ class PathModel(nn.Module):
         Args:
           design: device-resident DesignData.
           path_ids: (B,) int32 path indices (padded entries allowed —
-            mask the loss on the caller side).
+            mask the loss on the caller side). For a merged super-graph
+            (``graph.merge_parsed_designs``), shape (K, Bk) where row k
+            holds only design-k path ids; the K CNN rasters are run as
+            one batched conv and row k reads feature map k.
           train: BatchNorm mode for the U-Net branch.
 
-        Returns: (B,) regression output (nlabels=1) or (B, nlabels) logits.
+        Returns: output shaped like ``path_ids`` (nlabels=1) or
+        ``path_ids.shape + (nlabels,)`` logits.
         """
+        grouped = path_ids.ndim == 2
         endpoints = design.path_endpoint[path_ids]
         levels = design.path_level[path_ids]
         parts = []
@@ -98,12 +103,25 @@ class PathModel(nn.Module):
             h = self.gnn(design.graph)
             parts.append(h[endpoints])
         if self.use_cnn:
-            feat_map = self.cnn(design.cnn_input, train=train).reshape(-1)
-            fw = feat_map[:, None] * self.fcn_kernel  # (map^2, outdim)
-            rows = design.path_masks[path_ids].astype(fw.dtype)
-            parts.append(rows @ fw + self.fcn_bias)
-        parts.append(self.mlp_alpha(levels[:, None]))
-        hcat = jnp.concatenate(parts, axis=1)
+            feat_map = self.cnn(design.cnn_input, train=train)
+            rows = design.path_masks[path_ids].astype(feat_map.dtype)
+            if grouped:
+                # (K, map^2) per-design maps; per-design fcn algebra
+                # batched on the MXU: fcn(mask * f_k) = mask @ (f_k ⊙ W)
+                fmap = feat_map.reshape(feat_map.shape[0], -1)
+                fw = fmap[:, :, None] * self.fcn_kernel  # (K, map^2, D)
+                parts.append(jnp.einsum("kbm,kmd->kbd", rows, fw)
+                             + self.fcn_bias)
+            else:
+                if feat_map.shape[0] != 1:
+                    raise ValueError(
+                        "merged super-graph designs (K CNN rasters) need "
+                        "grouped path_ids of shape (K, Bk); got flat ids "
+                        f"with {feat_map.shape[0]} rasters")
+                fw = feat_map.reshape(-1)[:, None] * self.fcn_kernel
+                parts.append(rows @ fw + self.fcn_bias)
+        parts.append(self.mlp_alpha(levels[..., None]))
+        hcat = jnp.concatenate(parts, axis=-1)
         out = self.mlp_fuse(hcat)
         if self.nlabels == 1:
             out = out.squeeze(-1)

@@ -8,7 +8,12 @@ sharding that axis over the mesh gives embarrassingly-parallel scaling
 configs 4-5.
 
 Note: the U-Net branch's BatchNorm running stats are not defined under
-a vmapped multi-design step; use LayoutNet (the default CNN) here.
+a vmapped multi-design step (rejected with NotImplementedError); use
+LayoutNet here, or the merged super-graph path
+(:func:`prtp_tpu.graph.merge_parsed_designs` + grouped ``path_ids``),
+which batches the K rasters through one BatchNorm like any image batch
+— and is also the faster single-chip multi-design layout (vmap lowers
+the per-level contiguous writes to scatters).
 """
 
 from __future__ import annotations
@@ -20,6 +25,16 @@ import optax
 from ..trainer import TrainState
 from ..utils import metrics as M
 from .mesh import batch_sharding, replicated
+
+
+def _reject_unet(model):
+    if getattr(model, "unet", False) and getattr(model, "use_cnn", True):
+        raise NotImplementedError(
+            "--unet under the vmapped multi-design step is unsupported: "
+            "BatchNorm running stats are undefined per vmapped design. "
+            "Use LayoutNet here, or merge the designs into one "
+            "super-graph (prtp_tpu.graph.merge_parsed_designs + grouped "
+            "path_ids), where BN sees the K rasters as a normal batch.")
 
 
 def _batched_forward(model, params, designs, path_ids, train=False):
@@ -60,6 +75,7 @@ def make_multidesign_train_step(model, tx, task: str = "reg", mesh=None,
     and mask must have K divisible by the mesh size); without, it runs
     single-chip vmapped.
     """
+    _reject_unet(model)
 
     def step_fn(state: TrainState, designs, path_ids, mask):
         def loss_fn(params):
@@ -88,6 +104,8 @@ def make_multidesign_train_step(model, tx, task: str = "reg", mesh=None,
 
 
 def make_multidesign_eval_step(model, task: str = "reg", mesh=None):
+    _reject_unet(model)
+
     def eval_fn(state: TrainState, designs, path_ids, mask):
         _, mets = _batched_loss_and_metrics(model, task, state.params,
                                             designs, path_ids, mask)

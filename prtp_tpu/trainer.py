@@ -96,7 +96,11 @@ def make_flat_adam(learning_rate: float, weight_decay: float = 0.0,
 
 
 def init_state(model, tx, design: DesignData, rng, batch_size: int = 4):
-    path_ids = jnp.zeros((min(batch_size, design.num_paths),), jnp.int32)
+    b = min(batch_size, design.num_paths)
+    if design.cnn_input.shape[0] > 1:  # merged super-graph: grouped ids
+        path_ids = jnp.zeros((design.cnn_input.shape[0], b), jnp.int32)
+    else:
+        path_ids = jnp.zeros((b,), jnp.int32)
     variables = model.init(rng, design, path_ids)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
@@ -269,6 +273,31 @@ def iterate_batches(path_ids, batch_size: int, rng: np.random.Generator,
     rem = ids[n_full * batch_size:]
     if len(rem) and not drop_last:
         yield pad_batch(rem, batch_size)
+
+
+def iterate_grouped_batches(per_design_ids, batch_size: int,
+                            rng: np.random.Generator, shuffle: bool = True):
+    """Grouped batches over a merged super-graph
+    (:func:`prtp_tpu.graph.merge_parsed_designs`): yields
+    ``(ids (K, B), mask (K, B))`` rounds where row k draws only from
+    design k's universe. Designs with fewer batches pad out with
+    zero-mask rows once exhausted."""
+    streams = []
+    for ids in per_design_ids:
+        ids = np.asarray(ids, np.int64)
+        if shuffle:
+            ids = ids[rng.permutation(len(ids))]
+        streams.append(ids)
+    n_rounds = max(batch_count(len(s), batch_size, drop_last=False)
+                   for s in streams)
+    for r in range(n_rounds):
+        ids2, mask2 = [], []
+        for s in streams:
+            i, m = pad_batch(s[r * batch_size: (r + 1) * batch_size],
+                             batch_size)
+            ids2.append(i)
+            mask2.append(m)
+        yield jnp.stack(ids2), jnp.stack(mask2)
 
 
 def batch_count(num_ids: int, batch_size: int, drop_last: bool) -> int:

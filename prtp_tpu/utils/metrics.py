@@ -100,6 +100,7 @@ def mse_loss(pred, target, mask=None):
 
 def cross_entropy_loss(logits, labels, mask=None):
     """Masked softmax cross-entropy (reference cls task loss)."""
+    logits = logits.reshape(-1, logits.shape[-1])
     logp = logits - jnp.log(jnp.sum(jnp.exp(
         logits - logits.max(axis=-1, keepdims=True)),
         axis=-1, keepdims=True)) - logits.max(axis=-1, keepdims=True)
