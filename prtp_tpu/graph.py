@@ -289,6 +289,15 @@ class LeveledGraphExact:
     cell_rev_rows: tuple  # P x (e_c_k,) int32 sorted asc
     net_rev_pos: tuple    # P x (e_n_k,)
     net_rev_rows: tuple   # P x (e_n_k,)
+    # fused-VJP tables (ops.fused_gnn): per pair, the PRIOR-row
+    # contributions of BOTH halves merged into one sorted unique-row
+    # scatter, plus the net edges whose source is inside the pair's own
+    # cell block (they feed the cell half's backward, not the carry).
+    merged_pos: tuple = ()   # P x (E_k,) int32 flat pos into [cell|net] cat
+    merged_seg: tuple = ()   # P x (E_k,) int32 segment id into unique rows
+    merged_rows: tuple = ()  # P x (U_k,) int32 unique prior rows, sorted
+    intra_pos: tuple = ()    # P x (I_k,) int32 flat pos into net mailbox
+    intra_slot: tuple = ()   # P x (I_k,) int32 local cell-block slot
     cell_off: tuple = struct.field(pytree_node=False, default=())
     net_off: tuple = struct.field(pytree_node=False, default=())
     num_rows_static: int = struct.field(pytree_node=False, default=0)
@@ -372,7 +381,40 @@ def pack_leveled_graph_exact(parsed, compute_dtype=jnp.float32):
     cm, crp, crr = per_level_tables(0, parsed["cell_edges"])
     nm, nrp, nrr = per_level_tables(1, parsed["net_edges"])
 
+    # fused-VJP backward tables (ops.fused_gnn): per pair, merge the
+    # prior-row cotangent contributions of the cell AND net halves into
+    # one sorted unique-row scatter; net edges sourced inside the pair's
+    # own cell block are kept separate (they feed the cell half's
+    # backward chain).
+    m_pos, m_seg, m_rows, i_pos, i_slot = [], [], [], [], []
+    for k in range(n_pairs):
+        pn_c, md_c = cm[k].shape
+        flat_c, src_c = crp[k].astype(np.int64), crr[k].astype(np.int64)
+        flat_n, src_n = nrp[k].astype(np.int64), nrr[k].astype(np.int64)
+        c0 = cell_off[k]
+        assert (src_c < c0).all(), "cell-edge source inside/after its level"
+        assert (src_n < net_off[k]).all(), "net-edge source at/after its level"
+        prior = src_n < c0
+        intra = ~prior
+        cat_pos = np.concatenate([flat_c, pn_c * md_c + flat_n[prior]])
+        rows = np.concatenate([src_c, src_n[prior]])
+        order = np.argsort(rows, kind="stable")
+        cat_pos, rows = cat_pos[order], rows[order]
+        uniq, seg = np.unique(rows, return_inverse=True)
+        m_pos.append(cat_pos.astype(np.int32))
+        m_seg.append(seg.astype(np.int32))
+        m_rows.append(uniq.astype(np.int32))
+        fi, si = flat_n[intra], (src_n[intra] - c0)
+        o2 = np.argsort(si, kind="stable")
+        i_pos.append(fi[o2].astype(np.int32))
+        i_slot.append(si[o2].astype(np.int32))
+
     graph = LeveledGraphExact(
+        merged_pos=tuple(jnp.asarray(a) for a in m_pos),
+        merged_seg=tuple(jnp.asarray(a) for a in m_seg),
+        merged_rows=tuple(jnp.asarray(a) for a in m_rows),
+        intra_pos=tuple(jnp.asarray(a) for a in i_pos),
+        intra_slot=tuple(jnp.asarray(a) for a in i_slot),
         cell_feat_lvl=tuple(jnp.asarray(b, dtype=compute_dtype)
                             for b in cell_feat_l),
         net_feat_lvl=tuple(jnp.asarray(b, dtype=compute_dtype)

@@ -199,6 +199,7 @@ class TimeGNN(nn.Module):
     reduce_mode: str = "mailbox"  # 'mailbox' | 'segment' | 'pallas'
     pallas_interpret: bool = False  # interpreter mode (CPU testing)
     dgl_parity: bool = True  # exact DGL pull semantics (see _PairStep)
+    fused_vjp: bool = True  # hand-written backward on the exact path
 
     @nn.compact
     def __call__(self, g, h0=None):
@@ -250,13 +251,41 @@ class TimeGNN(nn.Module):
     def _call_exact(self, g, h0=None):
         """Exact-shape path: python loop over pairs, one shared-param
         _PairStep applied per pair with that pair's true shapes (no
-        padded compute). Mailbox reduce only."""
+        padded compute). Mailbox reduce only.
+
+        With ``fused_vjp`` (default), the loop runs through
+        :func:`prtp_tpu.ops.fused_gnn.fused_exact_gnn` — identical
+        forward math, hand-written backward that carries one cotangent
+        buffer and merges each pair's two mailbox backscatters into a
+        single sorted scatter-add (the measured backward bottleneck).
+        Falls back to autodiff during init (params don't exist yet) and
+        for the attention variant."""
         assert self.reduce_mode == "mailbox", \
             "exact-levels mode supports the mailbox reduce"
         num_rows = g.num_rows
         h = (h0 if h0 is not None
              else jnp.zeros((num_rows + 1, self.out_dim),
                             dtype=g.cell_feat_lvl[0].dtype))
+        if (self.fused_vjp and not self.flag_attn
+                and len(g.merged_pos) == g.num_pairs
+                and not self.is_initializing()):
+            from ..ops.fused_gnn import fused_exact_gnn
+            pp = self.variables["params"]["pair_step"]
+            params = {k: pp[k] for k in
+                      ("fc_cell_self", "fc_cell_neigh", "fc_net_self")}
+            config = (num_rows, self.dgl_parity,
+                      tuple(g.cell_off), tuple(g.net_off))
+            blocks = tuple(
+                dict(cell_feat=g.cell_feat_lvl[k],
+                     net_feat=g.net_feat_lvl[k],
+                     cell_mail=g.cell_mail[k], net_mail=g.net_mail[k],
+                     merged_pos=g.merged_pos[k],
+                     merged_seg=g.merged_seg[k],
+                     merged_rows=g.merged_rows[k],
+                     intra_pos=g.intra_pos[k],
+                     intra_slot=g.intra_slot[k])
+                for k in range(g.num_pairs))
+            return fused_exact_gnn(config, params, h, blocks)
         step = _PairStep(
             out_dim=self.out_dim,
             num_rows=num_rows,

@@ -1,0 +1,104 @@
+"""fused_exact_gnn must match the autodiff exact-levels path exactly:
+same forward, same param gradients, same h0 cotangent."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from prtp_tpu.graph import pack_design
+from prtp_tpu.models.gnn import TimeGNN
+
+from helpers import make_random_leveled_graph
+
+
+def _design(rng, level_sizes=(5, 9, 7, 11, 6, 8)):
+    g = make_random_leveled_graph(rng, level_sizes=level_sizes,
+                                  cell_feat_dim=10, net_feat_dim=3)
+    n = g["num_nodes"]
+    endpoints = np.asarray(g["levels"][-1][0], dtype=np.int64)
+    num_paths = len(endpoints)
+    return dict(
+        g,
+        arrival_time=rng.normal(size=n).astype(np.float32),
+        required_time=rng.normal(size=n).astype(np.float32),
+        is_critical=np.zeros(n, np.int32),
+        path_endpoint=endpoints,
+        path_level=np.full(num_paths, len(g["levels"]) - 1, np.float32),
+        mask_coo=np.zeros((2, 0), np.int64),
+        num_paths=num_paths,
+        cnn_input=rng.normal(size=(2, 16, 16)).astype(np.float32),
+    )
+
+
+@pytest.mark.parametrize("dgl_parity", [True, False])
+def test_fused_matches_autodiff(dgl_parity):
+    rng = np.random.default_rng(3)
+    parsed = _design(rng)
+    design = pack_design(parsed, map_size=16, exact_levels=True)
+    g = design.graph
+
+    def build(fused):
+        return TimeGNN(out_dim=16, hidden_dim=32, dgl_parity=dgl_parity,
+                       fused_vjp=fused)
+
+    v = build(False).init(jax.random.PRNGKey(0), g)
+    # jitter so biases are nonzero (discriminating gradients)
+    leaves, treedef = jax.tree_util.tree_flatten(v)
+    keys = jax.random.split(jax.random.PRNGKey(5), len(leaves))
+    v = jax.tree_util.tree_unflatten(
+        treedef, [l + 0.1 * jax.random.normal(k, l.shape, l.dtype)
+                  for l, k in zip(leaves, keys)])
+
+    # forward equality
+    h_ref = np.asarray(build(False).apply(v, g))
+    h_fused = np.asarray(build(True).apply(v, g))
+    np.testing.assert_allclose(h_fused, h_ref, rtol=1e-5, atol=1e-5)
+
+    # gradient equality through a realistic readout: weighted endpoint
+    # loss so the cotangent at h is sparse, like the fusion head's
+    ep = design.path_endpoint
+    tgt = design.arrival_time[ep]
+
+    def loss(variables, fused):
+        h = build(fused).apply(variables, g)
+        return ((h[ep].sum(axis=1) - tgt) ** 2).mean()
+
+    l_ref, g_ref = jax.value_and_grad(lambda p: loss(p, False))(v)
+    l_fused, g_fused = jax.value_and_grad(lambda p: loss(p, True))(v)
+    np.testing.assert_allclose(float(l_fused), float(l_ref), rtol=1e-6)
+    flat_ref = jax.tree_util.tree_leaves_with_path(g_ref)
+    flat_fused = jax.tree_util.tree_leaves(g_fused)
+    assert len(flat_ref) == len(flat_fused)
+    for (path, a), b in zip(flat_ref, flat_fused):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=2e-4, atol=1e-5,
+            err_msg=f"param grad mismatch at {jax.tree_util.keystr(path)}")
+
+
+def test_fused_h0_cotangent():
+    rng = np.random.default_rng(7)
+    parsed = _design(rng, level_sizes=(4, 6, 5, 7))
+    design = pack_design(parsed, map_size=16, exact_levels=True)
+    g = design.graph
+    n1 = g.num_rows + 1
+
+    def build(fused):
+        return TimeGNN(out_dim=8, hidden_dim=16, fused_vjp=fused)
+
+    v = build(False).init(jax.random.PRNGKey(1), g)
+    leaves, treedef = jax.tree_util.tree_flatten(v)
+    keys = jax.random.split(jax.random.PRNGKey(2), len(leaves))
+    v = jax.tree_util.tree_unflatten(
+        treedef, [l + 0.1 * jax.random.normal(k, l.shape, l.dtype)
+                  for l, k in zip(leaves, keys)])
+    h0 = 0.3 * jax.random.normal(jax.random.PRNGKey(3), (n1, 8))
+
+    def loss(h0, fused):
+        h = build(fused).apply(v, g, h0)
+        return (h ** 2).sum()
+
+    d_ref = jax.grad(lambda x: loss(x, False))(h0)
+    d_fused = jax.grad(lambda x: loss(x, True))(h0)
+    np.testing.assert_allclose(np.asarray(d_fused), np.asarray(d_ref),
+                               rtol=2e-4, atol=1e-5)
