@@ -36,19 +36,60 @@ HIDDEN = 256
 CELL_FEAT = 36
 NET_FEAT = 3
 TPU_STEPS = 30
-CPU_STEPS = 3
+CPU_STEPS = 10  # timed steps after a discarded warm-up step
+# second bench point: the 300k-node scale check (TPU only)
+BIG_NODES = 300_000
+BIG_LEVELS = 26
 
 
-def build_design():
+def build_design(nodes=LEVEL_SIZES_NODES, levels=NUM_LEVELS, seed=7):
     from prtp_tpu.data.random_design import bench_level_sizes, make_random_design
-    sizes = bench_level_sizes(LEVEL_SIZES_NODES, NUM_LEVELS, decay=0.93)
+    # decay 0.8: front-loaded profile like real netlists (the first
+    # level holds ~20% of all pins; deep levels are thin) — the shape
+    # exact-levels packing exists for
+    sizes = bench_level_sizes(nodes, levels, decay=0.8)
     parsed = make_random_design(
         sizes, cell_feat_dim=CELL_FEAT, net_feat_dim=NET_FEAT,
-        map_size=MAP_SIZE, cnn_hw=CNN_HW, mask_nnz_per_path=96, seed=7)
+        map_size=MAP_SIZE, cnn_hw=CNN_HW, mask_nnz_per_path=96, seed=seed)
     return parsed, sizes
 
 
-def bench_tpu(parsed):
+def step_cost_model(parsed, batch):
+    """Analytic FLOPs + HBM bytes per train step (fwd + bwd ~= 3x fwd
+    multiplies for the matmuls; elementwise/gather traffic counted by
+    bytes). Used for the roofline account in the bench detail."""
+    n = parsed["num_nodes"]
+    e = len(parsed["cell_edges"][0]) + len(parsed["net_edges"][0])
+    d, h, fc, fn = OUT_DIM, HIDDEN, CELL_FEAT, NET_FEAT
+    # GNN MLPs: per cell node self(fc->h->d) (+neigh d->h->d), per net
+    # node net_self(fn->h->d). Count mult-adds as 2 FLOPs, x3 for
+    # fwd+bwd (dgrad+wgrad).
+    n_cell = sum(len(parsed["levels"][li][0])
+                 for li in range(0, len(parsed["levels"]), 2))
+    n_net = n - n_cell
+    gnn_flops = 2 * (n_cell * (fc * h + h * d) + n_cell * (d * h + h * d)
+                     + n_net * (fn * h + h * d))
+    # CNN (LayoutNet, NHWC 512^2): conv MACs per layer
+    hw = CNN_HW
+    conv = (hw * hw * 81 * 2 * 32 + (hw // 2) ** 2 * 49 * 32 * 64
+            + (hw // 4) ** 2 * 81 * 64 * 32 + (hw // 4) ** 2 * 49 * 32 * 1)
+    cnn_flops = 2 * conv
+    # fusion: mask rows (B, map^2) @ (map^2, d) + fuse MLP
+    fuse_flops = 2 * (batch * MAP_SIZE * MAP_SIZE * d
+                      + batch * (2 * (2 * d + 64)) * (2 * d + 64))
+    fwd = gnn_flops + cnn_flops + fuse_flops
+    total_flops = 3 * fwd
+    # dominant HBM traffic: node states + mailbox gathers + grads
+    # (f32): h read/write per level walk ~ 3 passes fwd + 4 bwd, edge
+    # messages 2x, masks uint8
+    state_bytes = n * d * 4
+    bytes_step = (7 * state_bytes + 4 * e * d * 4
+                  + batch * MAP_SIZE * MAP_SIZE * 1
+                  + 3 * 2 * (hw * hw * 2 * 4))
+    return total_flops, bytes_step
+
+
+def bench_tpu(parsed, inference=True, trials=3):
     import jax
     from prtp_tpu.graph import pack_design
     from prtp_tpu.models import PathModel
@@ -77,7 +118,7 @@ def bench_tpu(parsed):
     log(f"tpu compile+first-dispatch({inner} steps): {time.time() - t0:.1f}s "
         f"loss={float(mets['loss']):.3f} backend={jax.default_backend()}")
     best = 0.0
-    for trial in range(3):
+    for trial in range(trials):
         t0 = time.time()
         state, mets = step(state, design, ids, mask)
         jax.block_until_ready(mets["loss"])
@@ -85,6 +126,8 @@ def bench_tpu(parsed):
         log(f"tpu trial {trial}: {1 / dt:.2f} steps/s "
             f"loss={float(mets['loss']):.3f}")
         best = max(best, 1.0 / dt)
+    if not inference:
+        return best, design.num_paths, batch, None
 
     # inference: full-design forward (all paths), designs/sec
     from prtp_tpu.trainer import make_eval_step
@@ -232,13 +275,28 @@ def main():
     log(f"bench design: {parsed['num_nodes']} nodes, "
         f"{len(parsed['cell_edges'][0])} cell-edges, "
         f"{len(parsed['net_edges'][0])} net-edges, "
-        f"{parsed['num_paths']} paths, {len(sizes)} levels")
+        f"{parsed['num_paths']} paths, {len(sizes)} levels "
+        f"(front-loaded profile, first level {sizes[0]})")
     tpu_sps, num_paths, batch, inf_dps = bench_tpu(parsed)
+
+    # second point: 300k-node design, steps/s only
+    big_parsed, big_sizes = build_design(BIG_NODES, BIG_LEVELS, seed=11)
+    log(f"big design: {big_parsed['num_nodes']} nodes, "
+        f"{len(big_parsed['cell_edges'][0]) + len(big_parsed['net_edges'][0])}"
+        f" edges, {len(big_sizes)} levels")
+    try:
+        big_sps, _, _, _ = bench_tpu(big_parsed, inference=False, trials=2)
+    except Exception as e:
+        log(f"big-design point failed: {e}")
+        big_sps = None
+
     try:
         cpu_sps = bench_torch_cpu(parsed)
     except Exception as e:  # torch missing/broken: report absolute only
         log(f"torch baseline failed: {e}")
         cpu_sps = None
+
+    flops, hbm_bytes = step_cost_model(parsed, batch)
     result = {
         "metric": "train_steps_per_sec",
         "value": round(tpu_sps, 3),
@@ -251,8 +309,19 @@ def main():
             "paths": int(num_paths),
             "batch": int(batch),
             "inference_designs_per_sec": round(inf_dps, 2),
-            "baseline": "torch-cpu reference-style levelized step",
+            "baseline": "torch-cpu reference-style levelized step "
+                        f"({CPU_STEPS} timed steps, warm-up discarded)",
             "baseline_steps_per_sec": round(cpu_sps, 4) if cpu_sps else None,
+            "flops_per_step": flops,
+            "hbm_bytes_per_step": hbm_bytes,
+            "achieved_tflops": round(flops * tpu_sps / 1e12, 3),
+            "achieved_gbps": round(hbm_bytes * tpu_sps / 1e9, 1),
+            "big_design": {
+                "nodes": big_parsed["num_nodes"],
+                "edges": int(len(big_parsed["cell_edges"][0])
+                             + len(big_parsed["net_edges"][0])),
+                "steps_per_sec": round(big_sps, 3) if big_sps else None,
+            },
         },
     }
     print(json.dumps(result))

@@ -45,6 +45,7 @@ class PathModel(nn.Module):
     gnn_reduce: str = "mailbox"  # 'mailbox' | 'segment' | 'pallas'
     pallas_interpret: bool = False
     dgl_parity: bool = True  # exact DGL pull semantics (models.gnn)
+    gnn_fused_vjp: bool = True  # hand-written exact-levels backward
 
     def setup(self):
         assert self.use_gnn or self.use_cnn, \
@@ -59,6 +60,7 @@ class PathModel(nn.Module):
                 reduce_mode=self.gnn_reduce,
                 pallas_interpret=self.pallas_interpret,
                 dgl_parity=self.dgl_parity,
+                fused_vjp=self.gnn_fused_vjp,
             )
         if self.use_cnn:
             self.cnn = (UNet(self.pooling) if self.unet

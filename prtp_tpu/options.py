@@ -116,6 +116,14 @@ def get_options(args=None):
                      help="dtype for GNN/CNN activations")
     tpu.add_argument("--pallas", action="store_true",
                      help="use Pallas fused gather/segment kernels where available")
+    tpu.add_argument("--merge_designs", action="store_true",
+                     help="train on ONE super-graph merging all train "
+                          "designs (disjoint union per topo level): one "
+                          "shared level scan propagates every design per "
+                          "step, batches draw from each design's path "
+                          "universe (grouped rows). Validation stays "
+                          "per-design. The TPU-fast multi-design layout "
+                          "(vmap-free).")
     tpu.add_argument("--exact_levels", action="store_true",
                      help="pack each design with true per-level shapes and "
                           "python-unroll the GNN (no padded compute; fastest "

@@ -33,6 +33,7 @@ from .trainer import (
     init_state,
     init_state_abstract,
     iterate_batches,
+    iterate_grouped_batches,
     make_eval_step,
     make_optimizer,
     make_scan_train_step,
@@ -140,9 +141,24 @@ def train(options, seed):
     cache_tr = DesignCache(packer)
     cache_val = DesignCache(packer)
 
-    first_pack, _ = cache_tr.get(
-        train_designs[0],
-        lambda: _load("train", options, train_designs[0]))
+    merged_pack = merged_universes = None
+    if options.merge_designs:
+        # ONE super-graph over all train designs (disjoint union per
+        # level, grouped path batches); validation stays per-design —
+        # params are design-independent (graph.merge_parsed_designs)
+        from .graph import merge_parsed_designs
+        merged_parsed = merge_parsed_designs(
+            [_load("train", options, d) for d in train_designs])
+        merged_pack = pack_design(
+            merged_parsed, map_size=options.map_size,
+            compute_dtype=compute_dtype,
+            exact_levels=options.exact_levels)
+        merged_universes = merged_parsed["path_ids_per_design"]
+        first_pack = merged_pack
+    else:
+        first_pack, _ = cache_tr.get(
+            train_designs[0],
+            lambda: _load("train", options, train_designs[0]))
 
     config = {k: v for k, v in vars(options).items()}
     if ckpt.checkpoint_exists(options.model_saving_dir):
@@ -189,15 +205,27 @@ def train(options, seed):
     total_steps = 0
     spd = max(options.steps_per_dispatch, 1)
     print("----------------Start training---------------")
+    if options.merge_designs:
+        design_units = [("+".join(train_designs), True)]
+    else:
+        design_units = [(d, False) for d in train_designs]
     for epoch in range(options.num_epoch):
-        for design in train_designs:
-            pack, parsed = cache_tr.get(
-                design, lambda d=design: _load("train", options, d))
-            ids = parsed["path_ids"]
-            num_batch = batch_count(len(ids), options.batch_size,
-                                    options.droplast)
-            batches = list(iterate_batches(ids, options.batch_size, rng,
-                                           drop_last=options.droplast))
+        for design, is_merged in design_units:
+            if is_merged:
+                pack = merged_pack
+                num_batch = max(
+                    batch_count(len(u), options.batch_size, False)
+                    for u in merged_universes)
+                batches = list(iterate_grouped_batches(
+                    merged_universes, options.batch_size, rng))
+            else:
+                pack, parsed = cache_tr.get(
+                    design, lambda d=design: _load("train", options, d))
+                ids = parsed["path_ids"]
+                num_batch = batch_count(len(ids), options.batch_size,
+                                        options.droplast)
+                batches = list(iterate_batches(ids, options.batch_size, rng,
+                                               drop_last=options.droplast))
             bidx = 0
             while bidx < len(batches):
                 take = spd

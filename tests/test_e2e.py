@@ -134,3 +134,34 @@ def test_model_learns_synthetic_timing(pipeline_dirs):
         if r2 > 0.95:
             break
     assert r2 > 0.9, f"model failed to fit synthetic timing: r2={r2}"
+
+
+def test_train_merged_designs_cli(pipeline_dirs, tmp_path):
+    """--merge_designs: one super-graph over all train designs, grouped
+    batches, per-design validation unchanged."""
+    from prtp_tpu import train as train_mod
+
+    _raw, data, _ = pipeline_dirs
+    mdl = str(tmp_path / "mdl_merged")
+    args = (["--data_save_path", data, "--model_saving_dir", mdl,
+             "--num_epoch", "1", "--max_steps", "3", "--val_interval", "2",
+             "--merge_designs"] + MAP_ARGS)
+    train_mod.main(args)
+    with open(os.path.join(mdl, "stdout.log")) as f:
+        log = f.read()
+    assert "e0,syn_a+syn_b,b0/" in log  # merged pseudo-design line
+    assert "validate:" in log           # per-design validation still runs
+
+
+def test_train_merged_exact_levels_cli(pipeline_dirs, tmp_path):
+    from prtp_tpu import train as train_mod
+
+    _raw, data, _ = pipeline_dirs
+    mdl = str(tmp_path / "mdl_merged_exact")
+    args = (["--data_save_path", data, "--model_saving_dir", mdl,
+             "--num_epoch", "1", "--max_steps", "2",
+             "--merge_designs", "--exact_levels"] + MAP_ARGS)
+    train_mod.main(args)
+    with open(os.path.join(mdl, "stdout.log")) as f:
+        log = f.read()
+    assert "e0,syn_a+syn_b,b0/" in log
