@@ -42,8 +42,7 @@ class PathModel(nn.Module):
     flag_attn: bool = False
     num_heads: int = 1
     gnn_unroll: int | bool = 1
-    gnn_reduce: str = "mailbox"  # 'mailbox' | 'segment' | 'pallas'
-    pallas_interpret: bool = False
+    gnn_reduce: str = "mailbox"  # 'mailbox' | 'segment'
     dgl_parity: bool = True  # exact DGL pull semantics (models.gnn)
     gnn_fused_vjp: bool = True  # hand-written exact-levels backward
 
@@ -58,7 +57,6 @@ class PathModel(nn.Module):
                 num_heads=self.num_heads,
                 unroll=self.gnn_unroll,
                 reduce_mode=self.gnn_reduce,
-                pallas_interpret=self.pallas_interpret,
                 dgl_parity=self.dgl_parity,
                 fused_vjp=self.gnn_fused_vjp,
             )
@@ -132,13 +130,11 @@ class PathModel(nn.Module):
 
 def model_from_options(options):
     """Build a PathModel from the parity CLI options (src/train.py:34-81)."""
-    import jax
-    if getattr(options, "num_heads", 1) > 1:
-        raise NotImplementedError(
-            "--num_heads > 1 is not implemented (single-head attention "
-            "only; the reference declares the flag at src/options.py but "
-            "its multi-head path does not exist either)")
-    use_pallas = getattr(options, "pallas", False)
+    nh = getattr(options, "num_heads", 1)
+    if nh > 1 and options.out_dim % nh != 0:
+        raise ValueError(
+            f"--num_heads {nh} must divide --out_dim {options.out_dim} "
+            "(heads read disjoint out_dim/num_heads value slices)")
     unroll = getattr(options, "gnn_unroll", 1)
     unroll = True if unroll == 0 else unroll
     return PathModel(
@@ -154,7 +150,5 @@ def model_from_options(options):
         nlabels=options.nlabels,
         flag_attn=options.attn,
         num_heads=options.num_heads,
-        gnn_reduce="pallas" if use_pallas else "mailbox",
-        pallas_interpret=use_pallas and jax.default_backend() != "tpu",
         dgl_parity=getattr(options, "dgl_parity", True),
     )

@@ -56,15 +56,19 @@ class _PairStep(nn.Module):
       - 'segment': XLA segment reductions over the flat edge tables
         (used by the edge-parallel 'gp' sharding, which partitions the
         edge axis).
-      - 'pallas': fused streaming Pallas kernels over the sorted edges.
+
+    A Pallas streaming-reduce mode existed through round 1 and was
+    retired after measurement: its per-edge sequential loop ran 2.7x
+    slower than XLA's fused segment ops on the bench workload and could
+    not scale past VMEM (MODEL_NOTES.md, "rejected after measurement").
     """
 
     out_dim: int
     num_rows: int
     hidden_dim: int = 256
     flag_attn: bool = False
+    num_heads: int = 1
     reduce_mode: str = "mailbox"
-    pallas_interpret: bool = False
     # DGL graph.pull does NOT update a pulled node whose mailbox is
     # empty (no in-edges of the level's etype) — not even the apply
     # function runs. With dgl_parity the update is masked by in-degree,
@@ -79,13 +83,13 @@ class _PairStep(nn.Module):
         self.fc_cell_self = MLP((self.hidden_dim, self.out_dim))
         self.fc_net_self = MLP((self.hidden_dim, self.out_dim))
         if self.flag_attn:
-            self.fc_attn2 = nn.Dense(1, use_bias=False)
+            # one score column per head; num_heads=1 keeps the exact
+            # single-head parameter shape (kernel (D, 1))
+            assert self.out_dim % self.num_heads == 0, \
+                "out_dim must be divisible by num_heads"
+            self.fc_attn2 = nn.Dense(self.num_heads, use_bias=False)
 
     def _softmax_reduce(self, msg, dst_slot, num_segments):
-        if self.reduce_mode == "pallas":
-            from ..ops.pallas_segment import segment_softmax_sum_pallas
-            return segment_softmax_sum_pallas(
-                msg, dst_slot, num_segments, self.pallas_interpret)
         return segment_softmax_sum_fused(msg, dst_slot, num_segments)
 
     def _cell_neigh_mailbox(self, h, mail, rev_pos, rev_rows):
@@ -101,17 +105,25 @@ class _PairStep(nn.Module):
         return (ex * m).sum(axis=1) / denom
 
     def _cell_neigh_mailbox_attn(self, h, mail, rev_pos, rev_rows):
-        """Attention reduce on the dense mailbox: per-edge scores from
-        fc_attn2, softmax over the mailbox."""
+        """(Multi-head) attention reduce on the dense mailbox: per-edge
+        per-head scores from fc_attn2, per-head softmax over the mailbox,
+        heads read disjoint out_dim/num_heads value slices (GAT-style
+        concat). num_heads=1 reduces exactly to single-head attention."""
+        nh = self.num_heads
         m = mailbox_gather(h, mail, rev_pos, rev_rows, self.num_rows)
-        valid = mail != self.num_rows                  # (Pn, md)
-        scores = self.fc_attn2(m).squeeze(-1)          # (Pn, md)
+        pn, md, d = m.shape
+        valid = (mail != self.num_rows)[..., None]     # (Pn, md, 1)
+        scores = self.fc_attn2(m)                      # (Pn, md, H)
         scores = jnp.where(valid, scores, -jnp.inf)
         mx = jnp.max(scores, axis=1, keepdims=True)
         mx = jnp.where(jnp.isfinite(mx), mx, 0.0)
         ex = jnp.where(valid, jnp.exp(scores - mx), 0.0)
         alpha = ex / jnp.maximum(ex.sum(axis=1, keepdims=True), 1e-12)
-        return (alpha[..., None] * m).sum(axis=1)
+        if nh == 1:
+            return (alpha * m).sum(axis=1)
+        mh = m.reshape(pn, md, nh, d // nh)            # (Pn, md, H, Dh)
+        out = (alpha[..., None] * mh).sum(axis=1)      # (Pn, H, Dh)
+        return out.reshape(pn, d)
 
     def _net_neigh_mailbox(self, h, mail, rev_pos, rev_rows):
         m = mailbox_gather(h, mail, rev_pos, rev_rows, self.num_rows)
@@ -194,10 +206,9 @@ class TimeGNN(nn.Module):
     out_dim: int = 128
     hidden_dim: int = 256
     flag_attn: bool = False
-    num_heads: int = 1  # parity flag; single-head semantics (reference default)
+    num_heads: int = 1  # attention heads (GAT-style concat; 1 = reference default)
     unroll: int | bool = 1  # lax.scan unroll factor over level pairs
-    reduce_mode: str = "mailbox"  # 'mailbox' | 'segment' | 'pallas'
-    pallas_interpret: bool = False  # interpreter mode (CPU testing)
+    reduce_mode: str = "mailbox"  # 'mailbox' | 'segment'
     dgl_parity: bool = True  # exact DGL pull semantics (see _PairStep)
     fused_vjp: bool = True  # hand-written backward on the exact path
 
@@ -241,8 +252,8 @@ class TimeGNN(nn.Module):
             num_rows=num_rows,
             hidden_dim=self.hidden_dim,
             flag_attn=self.flag_attn,
+            num_heads=self.num_heads,
             reduce_mode=self.reduce_mode,
-            pallas_interpret=self.pallas_interpret,
             dgl_parity=self.dgl_parity,
             name="pair_step",
         )(h, xs)
@@ -291,8 +302,8 @@ class TimeGNN(nn.Module):
             num_rows=num_rows,
             hidden_dim=self.hidden_dim,
             flag_attn=self.flag_attn,
+            num_heads=self.num_heads,
             reduce_mode="mailbox",
-            pallas_interpret=self.pallas_interpret,
             dgl_parity=self.dgl_parity,
             name="pair_step",
         )

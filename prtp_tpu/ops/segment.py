@@ -84,10 +84,14 @@ def segment_softmax_sum(data, segment_ids, num_segments):
 
 
 def segment_weighted_softmax_sum(data, scores, segment_ids, num_segments):
-    """Attention-style reduce: per-edge scalar scores -> segment softmax
-    weights -> weighted sum of ``data``.
+    """Attention-style reduce: per-edge (per-head) scores -> segment
+    softmax weights -> weighted sum of ``data``.
 
-    For each segment s:
+    ``scores`` is ``(E,)``/``(E, 1)`` for single-head, or ``(E, H)``
+    multi-head, in which case each head softmax-weights its own
+    ``D/H``-wide value slice of ``data`` (GAT-style concat).
+
+    For each segment s (per head):
         alpha_e = softmax_{e in s}(scores[e]);  out[s] = sum_e alpha_e * data[e]
 
     This is the working semantics of the reference's attention reduce
@@ -95,6 +99,23 @@ def segment_weighted_softmax_sum(data, scores, segment_ids, num_segments):
     from ``fc_attn2`` — the reference's ``--attn`` path itself references
     an unset ndata['key'] and cannot run; see MODEL_NOTES.md).
     """
+    if scores.ndim == 2 and scores.shape[1] > 1:
+        e, d = data.shape
+        nh = scores.shape[1]
+        assert d % nh == 0, "data dim must be divisible by num_heads"
+        seg_max = jax.ops.segment_max(scores, segment_ids,
+                                      num_segments=num_segments)
+        seg_max = jnp.where(jnp.isfinite(seg_max), seg_max, 0.0)
+        ex = jnp.exp(scores - seg_max[segment_ids])          # (E, H)
+        denom = jax.ops.segment_sum(ex, segment_ids,
+                                    num_segments=num_segments)  # (S, H)
+        weighted = (ex[:, :, None]
+                    * data.reshape(e, nh, d // nh)).reshape(e, d)
+        numer = jax.ops.segment_sum(weighted, segment_ids,
+                                    num_segments=num_segments)
+        out = (numer.reshape(num_segments, nh, d // nh)
+               / jnp.maximum(denom, 1e-12)[:, :, None])
+        return out.reshape(num_segments, d)
     scores = scores.reshape(-1)
     seg_max = jax.ops.segment_max(scores, segment_ids, num_segments=num_segments)
     seg_max = jnp.where(jnp.isfinite(seg_max), seg_max, 0.0)

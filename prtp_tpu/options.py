@@ -89,8 +89,11 @@ def get_options(args=None):
                         help="apply the attention mechanism in the GNN")
     parser.add_argument("--num_heads", type=int, default=1,
                         help="the number of heads for the attention mechanism "
-                             "(only 1 is implemented; the reference declares "
-                             "the flag but has no multi-head path either)")
+                             "(GAT-style per-head softmax over the mailbox, "
+                             "heads concatenated; must divide --out_dim. The "
+                             "reference declares this flag but its multi-head "
+                             "path does not exist — this is a working "
+                             "implementation of the declared surface)")
     # Commented-out in the reference (src/options.py:31,37-38) but part
     # of its historical CLI surface — accepted here as no-ops so older
     # experiment scripts that still pass them don't crash argparse.
@@ -114,8 +117,6 @@ def get_options(args=None):
     tpu.add_argument("--compute_dtype", type=str, default="float32",
                      choices=["float32", "bfloat16"],
                      help="dtype for GNN/CNN activations")
-    tpu.add_argument("--pallas", action="store_true",
-                     help="use Pallas fused gather/segment kernels where available")
     tpu.add_argument("--merge_designs", action="store_true",
                      help="train on ONE super-graph merging all train "
                           "designs (disjoint union per topo level): one "

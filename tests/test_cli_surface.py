@@ -1,4 +1,4 @@
-"""CLI-contract details: historical flags, num_heads rejection, strict
+"""CLI-contract details: historical flags, num_heads validation, strict
 validation cadence arithmetic."""
 
 import pytest
@@ -17,12 +17,13 @@ def test_historical_reference_flags_accepted():
     assert opts.data_usage == "train"
 
 
-def test_num_heads_gt1_rejected():
+def test_num_heads_must_divide_out_dim():
     from prtp_tpu.models.fusion import model_from_options
 
-    opts = get_options(["--attn", "--num_heads", "4"])
-    with pytest.raises(NotImplementedError, match="num_heads"):
-        model_from_options(opts)
+    with pytest.raises(ValueError, match="num_heads"):
+        model_from_options(get_options(["--attn", "--num_heads", "3"]))
+    m = model_from_options(get_options(["--attn", "--num_heads", "4"]))
+    assert m.num_heads == 4 and m.flag_attn
 
 
 def test_next_val_trigger_matches_reference_cadence():

@@ -90,3 +90,54 @@ def test_exact_levels_matches_padded():
     total = sum(float(np.abs(np.asarray(x)).sum())
                 for x in jax.tree_util.tree_leaves(grads))
     assert np.isfinite(total) and total > 0
+
+
+def test_timegnn_multihead_attention():
+    """Multi-head attention: mailbox vs segment reduce agree; H=1 via a
+    (D,1) score kernel equals the same kernel tiled per-head only when
+    heads share scores — here we check cross-reduce-mode parity and
+    gradient flow for H=4."""
+    rng = np.random.default_rng(11)
+    g = make_random_leveled_graph(rng, level_sizes=(5, 8, 6, 9, 4, 7))
+    lg, node_row = _pack(g)
+    m_mail = TimeGNN(out_dim=16, hidden_dim=32, flag_attn=True,
+                     num_heads=4, reduce_mode="mailbox")
+    m_seg = TimeGNN(out_dim=16, hidden_dim=32, flag_attn=True,
+                    num_heads=4, reduce_mode="segment")
+    params = m_mail.init(jax.random.PRNGKey(9), lg)
+    h_mail = np.array(m_mail.apply(params, lg))
+    h_seg = np.array(m_seg.apply(params, lg))
+    np.testing.assert_allclose(h_mail[node_row], h_seg[node_row],
+                               rtol=1e-4, atol=1e-5)
+    # attn kernel has one column per head
+    k = params["params"]["pair_step"]["fc_attn2"]["kernel"]
+    assert k.shape == (16, 4)
+
+    def loss(p):
+        return jnp.sum(m_mail.apply(p, lg)[jnp.asarray(node_row)] ** 2)
+    grads = jax.grad(loss)(params)
+    total = sum(float(np.abs(np.asarray(x)).sum())
+                for x in jax.tree_util.tree_leaves(grads))
+    assert np.isfinite(total) and total > 0
+
+
+def test_timegnn_multihead_heads_differ():
+    """With distinct per-head score columns the heads produce different
+    mixtures than single-head (sanity that H actually matters)."""
+    rng = np.random.default_rng(13)
+    g = make_random_leveled_graph(rng, level_sizes=(4, 6, 5, 7))
+    lg, node_row = _pack(g)
+    m4 = TimeGNN(out_dim=16, hidden_dim=32, flag_attn=True, num_heads=4)
+    p4 = m4.init(jax.random.PRNGKey(21), lg)
+    h4 = np.array(m4.apply(p4, lg))
+    # collapse all head score columns to column 0 -> all heads share
+    # scores == single-head semantics; outputs must then differ from
+    # the distinct-column version somewhere
+    import copy
+    p1 = copy.deepcopy(jax.tree_util.tree_map(np.asarray, p4))
+    k = p1["params"]["pair_step"]["fc_attn2"]["kernel"]
+    p1["params"]["pair_step"]["fc_attn2"]["kernel"] = np.tile(
+        k[:, :1], (1, 4))
+    h1 = np.array(m4.apply(p1, lg))
+    assert np.all(np.isfinite(h4)) and np.all(np.isfinite(h1))
+    assert not np.allclose(h4[node_row], h1[node_row])
