@@ -41,9 +41,10 @@ def _grouped_ids(parsed_list, pad_to):
     return jnp.asarray(ids), jnp.asarray(mask)
 
 
-def test_merged_forward_matches_per_design(parsed_list):
+@pytest.mark.parametrize("exact", [False, True])
+def test_merged_forward_matches_per_design(parsed_list, exact):
     merged = merge_parsed_designs(parsed_list)
-    d_merged = pack_design(merged, map_size=16, align=8)
+    d_merged = pack_design(merged, map_size=16, align=8, exact_levels=exact)
     model = PathModel(**MODEL_KW)
 
     b = max(p["num_paths"] for p in parsed_list)
