@@ -14,6 +14,7 @@ same batch size.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -24,22 +25,28 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def _env(name, default):
+    """Env override for smoke-testing the script at small sizes
+    (`BENCH_*`); the defaults are the real benchmark workload."""
+    return int(os.environ.get(f"BENCH_{name}", default))
+
+
 # ----------------------------------------------------------- workload
 
-LEVEL_SIZES_NODES = 80_000
-NUM_LEVELS = 20
-BATCH = 1350
-MAP_SIZE = 128
-CNN_HW = 512
-OUT_DIM = 128
-HIDDEN = 256
+LEVEL_SIZES_NODES = _env("NODES", 80_000)
+NUM_LEVELS = _env("LEVELS", 20)
+BATCH = _env("BATCH", 1350)
+MAP_SIZE = _env("MAP", 128)
+CNN_HW = _env("CNN_HW", 512)
+OUT_DIM = _env("OUT_DIM", 128)
+HIDDEN = _env("HIDDEN", 256)
 CELL_FEAT = 36
 NET_FEAT = 3
-TPU_STEPS = 30
-CPU_STEPS = 10  # timed steps after a discarded warm-up step
+TPU_STEPS = _env("TPU_STEPS", 30)
+CPU_STEPS = _env("CPU_STEPS", 10)  # timed after a discarded warm-up step
 # second bench point: the 300k-node scale check (TPU only)
-BIG_NODES = 300_000
-BIG_LEVELS = 26
+BIG_NODES = _env("BIG_NODES", 300_000)
+BIG_LEVELS = _env("BIG_LEVELS", 26)
 
 
 def build_design(nodes=LEVEL_SIZES_NODES, levels=NUM_LEVELS, seed=7):
@@ -91,6 +98,7 @@ def step_cost_model(parsed, batch):
 
 def bench_tpu(parsed, inference=True, trials=3):
     import jax
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
     from prtp_tpu.graph import pack_design
     from prtp_tpu.models import PathModel
     from prtp_tpu.trainer import (init_state, make_multi_train_step,
@@ -98,11 +106,25 @@ def bench_tpu(parsed, inference=True, trials=3):
 
     # exact-levels packing: per-level true shapes, python-unrolled GNN —
     # no padded compute, fewest sequential fused regions (MODEL_NOTES.md)
+    t0 = time.time()
     design = pack_design(parsed, map_size=MAP_SIZE, exact_levels=True)
+    log(f"pack_design: {time.time() - t0:.1f}s")
     model = PathModel(out_dim=OUT_DIM, hidden_dim=HIDDEN,
                       cnn_outdim=OUT_DIM, map_size=MAP_SIZE)
     tx = make_optimizer(1e-3)
-    state = init_state(model, tx, design, jax.random.PRNGKey(0))
+    # init on a TINY proxy design: the param tree depends only on the
+    # feature dims / map size, not on level count or graph size, and the
+    # init compile of the big unrolled graph costs minutes on this host
+    from prtp_tpu.data.random_design import make_random_design
+    proxy = pack_design(
+        make_random_design([16, 24, 16, 24], cell_feat_dim=CELL_FEAT,
+                           net_feat_dim=NET_FEAT, map_size=MAP_SIZE,
+                           cnn_hw=CNN_HW, seed=1),
+        map_size=MAP_SIZE, exact_levels=True)
+    t0 = time.time()
+    state = init_state(model, tx, proxy, jax.random.PRNGKey(0))
+    jax.block_until_ready(state.params)
+    log(f"init_state (proxy): {time.time() - t0:.1f}s")
     # N steps per dispatch: measures device throughput, not the
     # host->device round-trip latency of this container's TPU tunnel.
     inner = TPU_STEPS

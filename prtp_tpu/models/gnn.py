@@ -78,13 +78,10 @@ class _PairStep(nn.Module):
     dgl_parity: bool = True
 
     def setup(self):
-        # widths mirror src/model.py:48-54 (256-wide single hidden layer).
-        # fc_cell_self / fc_net_self live on TimeGNN: level-independent
-        # (pure functions of static features), they are hoisted out of
-        # the sequential level walk into one batched MXU matmul chain
-        # each; their per-level outputs arrive via xs["cell_self"] /
-        # xs["net_self"].
+        # widths mirror src/model.py:48-54 (256-wide single hidden layer)
         self.fc_cell_neigh = MLP((self.hidden_dim, self.out_dim))
+        self.fc_cell_self = MLP((self.hidden_dim, self.out_dim))
+        self.fc_net_self = MLP((self.hidden_dim, self.out_dim))
         if self.flag_attn:
             # one score column per head; num_heads=1 keeps the exact
             # single-head parameter shape (kernel (D, 1))
@@ -156,8 +153,8 @@ class _PairStep(nn.Module):
                                             (off, 0))
 
     def __call__(self, h, xs):
-        pn_c = xs["cell_self"].shape[0]
-        pn_n = xs["net_self"].shape[0]
+        pn_c = xs["cell_feat"].shape[0]
+        pn_n = xs["net_feat"].shape[0]
         mailbox = self.reduce_mode == "mailbox"
 
         # ---- cell half (even level) ----
@@ -179,7 +176,7 @@ class _PairStep(nn.Module):
             msg = h[xs["cell_src"]]
             neigh = self._softmax_reduce(
                 msg, xs["cell_dst_slot"], pn_c + 1)[:pn_c]
-        h_self = xs["cell_self"]
+        h_self = self.fc_cell_self(xs["cell_feat"])
         # level 0 drops the neighbor term (apply_cell_func_level0,
         # src/model.py:148-153); its mailboxes are empty anyway.
         gate = jnp.where(xs["pair_idx"] == 0, 0.0, 1.0).astype(h.dtype)
@@ -195,7 +192,7 @@ class _PairStep(nn.Module):
             msg_n = h[xs["net_src"]]
             sums = segment_sum(msg_n, xs["net_dst_slot"], pn_n + 1)[:pn_n]
             neigh_n = sums / xs["net_cnt"][:, None]
-        h_new_n = jax.nn.relu(xs["net_self"] + neigh_n)
+        h_new_n = jax.nn.relu(self.fc_net_self(xs["net_feat"]) + neigh_n)
         h = self._masked_update(h, h_new_n, xs["net_off"],
                                 self._has_in(xs, "net", pn_n))
         return h, None
@@ -215,14 +212,6 @@ class TimeGNN(nn.Module):
     dgl_parity: bool = True  # exact DGL pull semantics (see _PairStep)
     fused_vjp: bool = True  # hand-written backward on the exact path
 
-    def _self_mlps(self):
-        """The hoisted level-independent self MLPs (owned by TimeGNN so
-        they can run ONCE over all levels' features — one batched MXU
-        matmul chain each — instead of once per level inside the
-        sequential walk)."""
-        return (MLP((self.hidden_dim, self.out_dim), name="fc_cell_self"),
-                MLP((self.hidden_dim, self.out_dim), name="fc_net_self"))
-
     @nn.compact
     def __call__(self, g, h0=None):
         from ..graph import LeveledGraphExact
@@ -233,15 +222,13 @@ class TimeGNN(nn.Module):
         h = (h0 if h0 is not None
              else jnp.zeros((num_rows + 1, self.out_dim),
                             dtype=g.cell_feat_lvl.dtype))
-        fc_cell_self, fc_net_self = self._self_mlps()
         pair_idx = jnp.arange(g.num_pairs, dtype=jnp.int32)
         xs = {
             "pair_idx": pair_idx,
             "cell_off": pair_idx * stride,
             "net_off": pair_idx * stride + g.pn_c,
-            # (P, pn, D) — one batched matmul chain over all pairs
-            "cell_self": fc_cell_self(g.cell_feat_lvl),
-            "net_self": fc_net_self(g.net_feat_lvl),
+            "cell_feat": g.cell_feat_lvl,
+            "net_feat": g.net_feat_lvl,
         }
         if self.reduce_mode == "mailbox":
             xs.update(cell_mail=g.cell_mail, net_mail=g.net_mail,
@@ -286,39 +273,30 @@ class TimeGNN(nn.Module):
         for the attention variant."""
         assert self.reduce_mode == "mailbox", \
             "exact-levels mode supports the mailbox reduce"
-        import numpy as np
         num_rows = g.num_rows
         h = (h0 if h0 is not None
              else jnp.zeros((num_rows + 1, self.out_dim),
                             dtype=g.cell_feat_lvl[0].dtype))
-        # hoisted self MLPs: concat all levels' features, ONE batched
-        # matmul chain each, split back to per-pair blocks (the MLP
-        # grads batch the same way under autodiff / the fused VJP)
-        fc_cell_self, fc_net_self = self._self_mlps()
-        cs = [f.shape[0] for f in g.cell_feat_lvl]
-        ns = [f.shape[0] for f in g.net_feat_lvl]
-        self_c = jnp.split(fc_cell_self(jnp.concatenate(g.cell_feat_lvl, 0)),
-                           list(np.cumsum(cs)[:-1]), 0)
-        self_n = jnp.split(fc_net_self(jnp.concatenate(g.net_feat_lvl, 0)),
-                           list(np.cumsum(ns)[:-1]), 0)
         if (self.fused_vjp and not self.flag_attn
                 and len(g.merged_pos) == g.num_pairs
                 and not self.is_initializing()):
             from ..ops.fused_gnn import fused_exact_gnn
             pp = self.variables["params"]["pair_step"]
-            params = {"fc_cell_neigh": pp["fc_cell_neigh"]}
+            params = {k: pp[k] for k in
+                      ("fc_cell_self", "fc_cell_neigh", "fc_net_self")}
             config = (num_rows, self.dgl_parity,
                       tuple(g.cell_off), tuple(g.net_off))
             blocks = tuple(
-                dict(cell_mail=g.cell_mail[k], net_mail=g.net_mail[k],
+                dict(cell_feat=g.cell_feat_lvl[k],
+                     net_feat=g.net_feat_lvl[k],
+                     cell_mail=g.cell_mail[k], net_mail=g.net_mail[k],
                      merged_pos=g.merged_pos[k],
                      merged_seg=g.merged_seg[k],
                      merged_rows=g.merged_rows[k],
                      intra_pos=g.intra_pos[k],
                      intra_slot=g.intra_slot[k])
                 for k in range(g.num_pairs))
-            return fused_exact_gnn(config, params, h, tuple(self_c),
-                                   tuple(self_n), blocks)
+            return fused_exact_gnn(config, params, h, blocks)
         step = _PairStep(
             out_dim=self.out_dim,
             num_rows=num_rows,
@@ -334,8 +312,8 @@ class TimeGNN(nn.Module):
                 "pair_idx": jnp.asarray(k, jnp.int32),
                 "cell_off": g.cell_off[k],
                 "net_off": g.net_off[k],
-                "cell_self": self_c[k],
-                "net_self": self_n[k],
+                "cell_feat": g.cell_feat_lvl[k],
+                "net_feat": g.net_feat_lvl[k],
                 "cell_mail": g.cell_mail[k],
                 "net_mail": g.net_mail[k],
                 "cell_rev_pos": g.cell_rev_pos[k],

@@ -17,18 +17,7 @@ so this module implements the backward by hand:
 - mailboxes are RE-GATHERED from the final ``h`` instead of being saved:
   every source row is final by the time its level reads it (levels are
   deduped — each node is written exactly once, at its own level), so
-  ``h_final[mail] == h_carried[mail]`` for every level;
-- every matmul that is not on the cotangent-propagation path is HOISTED
-  out of the sequential level walk and batched across all levels
-  (step time on the target chip is bounded by the count of sequential
-  fused regions, not FLOPs): the self MLPs run in the caller
-  (``TimeGNN``) as one concatenated matmul chain each — this op takes
-  their per-pair outputs as differentiable inputs and returns their
-  cotangents (= each level's ``d_pre``), so their backward batches under
-  plain autodiff too; all mailbox re-gathers merge into ONE gather; the
-  fc_cell_neigh hidden recompute is one concatenated matmul; and its
-  param grads are two post-walk matmuls. Only the two per-level
-  cotangent matmuls (d_pre -> d_r -> d_f) remain in the walk.
+  ``h_final[mail] == h_carried[mail]`` for every level.
 
 Semantics mirror ``models.gnn._PairStep`` (mailbox reduce, no attention)
 including ``dgl_parity`` masking; equivalence with autodiff is asserted
@@ -50,6 +39,20 @@ def _mlp(p, x):
     return jax.nn.relu(a) @ p["fc1"]["kernel"] + p["fc1"]["bias"]
 
 
+def _mlp_grads(p, x, d_out):
+    """Param grads + input cotangent for _mlp; recomputes the hidden."""
+    a = x @ p["fc0"]["kernel"] + p["fc0"]["bias"]
+    r = jax.nn.relu(a)
+    d_r = d_out @ p["fc1"]["kernel"].T
+    d_a = d_r * (a > 0)
+    dp = {
+        "fc0": {"kernel": x.T @ d_a, "bias": d_a.sum(0)},
+        "fc1": {"kernel": r.T @ d_out, "bias": d_out.sum(0)},
+    }
+    d_x = d_a @ p["fc0"]["kernel"].T
+    return dp, d_x
+
+
 def _softmax_sum(m, valid):
     """Masked elementwise mailbox softmax-weighted sum over axis 1
     (matches _PairStep._cell_neigh_mailbox). Returns (f, w)."""
@@ -68,7 +71,7 @@ def _mean_sum(m, valid):
     return s / cnt, cnt
 
 
-def _forward_impl(config, params, h0, self_c, self_n, blocks):
+def _forward_impl(config, params, h0, blocks):
     num_rows, dgl_parity, cell_off, net_off = config
     h = h0
     d = h.shape[1]
@@ -76,7 +79,7 @@ def _forward_impl(config, params, h0, self_c, self_n, blocks):
         # ---- cell half (even level 2k) ----
         valid = (b["cell_mail"] != num_rows)[..., None]
         neigh, _w = _softmax_sum(h[b["cell_mail"]], valid)
-        pre = self_c[k]
+        pre = _mlp(params["fc_cell_self"], b["cell_feat"])
         if k > 0:  # level 0 drops the neighbor term
             pre = pre + _mlp(params["fc_cell_neigh"], neigh)
         new = jax.nn.relu(pre)
@@ -90,7 +93,7 @@ def _forward_impl(config, params, h0, self_c, self_n, blocks):
         # ---- net half (odd level 2k+1) ----
         validn = (b["net_mail"] != num_rows)[..., None]
         neigh_n, _cnt = _mean_sum(h[b["net_mail"]], validn)
-        pre_n = self_n[k] + neigh_n
+        pre_n = _mlp(params["fc_net_self"], b["net_feat"]) + neigh_n
         new_n = jax.nn.relu(pre_n)
         if dgl_parity:
             hasn = validn.any(axis=1)
@@ -103,74 +106,35 @@ def _forward_impl(config, params, h0, self_c, self_n, blocks):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def fused_exact_gnn(config, params, h0, self_c, self_n, blocks):
+def fused_exact_gnn(config, params, h0, blocks):
     """h_final = exact-levels propagation with the hand-written backward.
 
     config: hashable (num_rows, dgl_parity, cell_off tuple, net_off
-    tuple). params: {fc_cell_neigh} (the only MLP whose input depends
-    on the walk). self_c / self_n: per-pair tuples of the hoisted
-    fc_cell_self / fc_net_self outputs (their cotangents are returned
-    so the batched self-MLP backward runs under plain autodiff in the
-    caller). blocks: per-pair dict tuple (see LeveledGraphExact)."""
-    return _forward_impl(config, params, h0, self_c, self_n, blocks)
+    tuple). params: the pair_step param tree {fc_cell_self,
+    fc_cell_neigh, fc_net_self}. blocks: per-pair dict tuple (see
+    LeveledGraphExact)."""
+    return _forward_impl(config, params, h0, blocks)
 
 
-def _fwd(config, params, h0, self_c, self_n, blocks):
-    hf = _forward_impl(config, params, h0, self_c, self_n, blocks)
-    return hf, (params, blocks, hf)
+def _fwd(config, params, h0, blocks):
+    hf = _forward_impl(config, params, h0, blocks)
+    return hf, (params, h0, blocks, hf)
 
 
 def _bwd(config, res, g):
     num_rows, dgl_parity, cell_off, net_off = config
-    params, blocks, hf = res
+    params, h0, blocks, hf = res
     d = hf.shape[1]
     dh = g
     dparams = jax.tree_util.tree_map(jnp.zeros_like, params)
-    # d_pre IS the cotangent of the hoisted self terms; collected per
-    # level and returned so the self-MLP backward batches in the caller
-    d_pre_c_blocks = [None] * len(blocks)
-    d_pre_n_blocks = [None] * len(blocks)
-    # fc_cell_neigh grads likewise: only the two cotangent matmuls
-    # (d_pre -> d_r -> d_f) must stay inside the walk; the hidden
-    # recompute and both param-grad matmuls batch across levels
-    d_a_blocks = []
 
-    # Everything derivable from the FINAL state hf is batched up front:
-    # levels are deduped (each row written exactly once, at its level),
-    # so every mailbox source row is final by the time its level reads
-    # it — hf[mail] == h_carried[mail]. One concatenated gather replaces
-    # the per-level re-gathers, and one matmul chain recomputes the
-    # fc_cell_neigh hidden for all levels at once.
-    m_blocks = [None] * len(blocks)
-    f_blocks = [None] * len(blocks)
-    if len(blocks) > 1:
-        mail_cat = jnp.concatenate(
-            [b["cell_mail"].reshape(-1) for b in blocks[1:]])
-        m_cat = hf[mail_cat]
-        off = 0
-        for k, b in enumerate(blocks[1:], start=1):
-            mb = m_cat[off: off + b["cell_mail"].size].reshape(
-                b["cell_mail"].shape + (d,))
-            off += b["cell_mail"].size
-            m_blocks[k] = mb
-            f_blocks[k], _w = _softmax_sum(
-                mb, (b["cell_mail"] != num_rows)[..., None])
-        f_cat = jnp.concatenate([f_blocks[k] for k in
-                                 range(1, len(blocks))], 0)
-        pn = params["fc_cell_neigh"]
-        a_cat = f_cat @ pn["fc0"]["kernel"] + pn["fc0"]["bias"]
-        a_pos_blocks = []
-        off = 0
-        for k in range(1, len(blocks)):
-            n = f_blocks[k].shape[0]
-            a_pos_blocks.append(a_cat[off: off + n] > 0)
-            off += n
-        r_cat = jax.nn.relu(a_cat)
+    def acc(tree, key, dp):
+        tree[key] = jax.tree_util.tree_map(jnp.add, tree[key], dp)
 
     for k in reversed(range(len(blocks))):
         b = blocks[k]
-        pn_c = b["cell_mail"].shape[0]
-        pn_n = b["net_mail"].shape[0]
+        pn_c = b["cell_feat"].shape[0]
+        pn_n = b["net_feat"].shape[0]
 
         # ---- net half backward ----
         g_n = jax.lax.dynamic_slice(dh, (net_off[k], 0), (pn_n, d))
@@ -184,7 +148,9 @@ def _bwd(config, res, g):
         else:
             d_pre_n = g_n * posn
             d_old_n = jnp.zeros_like(g_n)
-        d_pre_n_blocks[k] = d_pre_n
+        dp_net, _dx = _mlp_grads(params["fc_net_self"], b["net_feat"],
+                                 d_pre_n)
+        acc(dparams, "fc_net_self", dp_net)
         cnt = jnp.maximum(validn.sum(axis=1).astype(g_n.dtype), 1.0)
         d_mail_n = jnp.where(validn, (d_pre_n / cnt)[:, None, :], 0.0)
 
@@ -207,22 +173,14 @@ def _bwd(config, res, g):
         else:
             d_pre_c = g_c * posc
             d_old_c = jnp.zeros_like(g_c)
-        d_pre_c_blocks[k] = d_pre_c
+        dp_self, _dx = _mlp_grads(params["fc_cell_self"], b["cell_feat"],
+                                  d_pre_c)
+        acc(dparams, "fc_cell_self", dp_self)
         if k > 0:
-            m, f = m_blocks[k], f_blocks[k]
-            pnp = params["fc_cell_neigh"]
-            # cotangent path only; param grads batch after the walk
-            d_r = d_pre_c @ pnp["fc1"]["kernel"].T
-            d_a = d_r * a_pos_blocks[k - 1]
-            d_f = d_a @ pnp["fc0"]["kernel"].T
-            d_a_blocks.append(d_a)
-            # recompute softmax weights elementwise (fuses; avoids
-            # holding w_cat alongside m_cat)
-            neg = jnp.full_like(m, -jnp.inf)
-            mx = jnp.max(jnp.where(validc, m, neg), axis=1, keepdims=True)
-            mx = jnp.where(jnp.isfinite(mx), mx, 0.0)
-            ex = jnp.where(validc, jnp.exp(m - mx), 0.0)
-            w = ex / jnp.maximum(ex.sum(axis=1, keepdims=True), 1e-12)
+            m = hf[b["cell_mail"]]
+            f, w = _softmax_sum(m, validc)
+            dp_neigh, d_f = _mlp_grads(params["fc_cell_neigh"], f, d_pre_c)
+            acc(dparams, "fc_cell_neigh", dp_neigh)
             # d f/d m_j = w_j (1 + m_j - f) elementwise per channel
             d_mail_c = d_f[:, None, :] * w * (1.0 + m - f[:, None, :])
         else:
@@ -244,19 +202,7 @@ def _bwd(config, res, g):
                 uniq.astype(dh.dtype),
                 indices_are_sorted=True, unique_indices=True)
 
-    # batched fc_cell_neigh param grads (walk visited k = P-1..1, so
-    # d_a_blocks is reversed relative to f_cat/r_cat row order)
-    if len(blocks) > 1:
-        d_a_cat = jnp.concatenate(d_a_blocks[::-1], 0)
-        d_pre_cat = jnp.concatenate(
-            [d_pre_c_blocks[k] for k in range(1, len(blocks))], 0)
-        dparams["fc_cell_neigh"] = {
-            "fc0": {"kernel": f_cat.T @ d_a_cat, "bias": d_a_cat.sum(0)},
-            "fc1": {"kernel": r_cat.T @ d_pre_cat,
-                    "bias": d_pre_cat.sum(0)},
-        }
-    return (dparams, dh, tuple(d_pre_c_blocks), tuple(d_pre_n_blocks),
-            None)
+    return dparams, dh, None
 
 
 fused_exact_gnn.defvjp(_fwd, _bwd)

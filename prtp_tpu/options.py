@@ -9,6 +9,7 @@ sharding / precision flags); everything else is parity.
 """
 
 import argparse
+import os
 
 
 def get_options(args=None):
@@ -125,6 +126,13 @@ def get_options(args=None):
                           "universe (grouped rows). Validation stays "
                           "per-design. The TPU-fast multi-design layout "
                           "(vmap-free).")
+    tpu.add_argument("--compile_cache_dir", type=str,
+                     default=os.path.join(
+                         os.path.expanduser("~"), ".cache", "prtp_tpu_xla"),
+                     help="persistent XLA compilation cache directory "
+                          "(repeat runs skip recompiles — the unrolled "
+                          "--exact_levels graph can cost minutes to compile "
+                          "on slow hosts). Empty string disables.")
     tpu.add_argument("--exact_levels", action="store_true",
                      help="pack each design with true per-level shapes and "
                           "python-unroll the GNN (no padded compute; fastest "

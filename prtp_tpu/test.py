@@ -156,6 +156,10 @@ def _plot_relative_error(options, case_idx, levels, preds, arrival):
 
 def main(argv=None):
     options = get_options(argv)
+    if options.compile_cache_dir:
+        import jax
+        jax.config.update("jax_compilation_cache_dir",
+                          options.compile_cache_dir)
     options.cell_feat_dim -= options.feat_reduce[0]
     options.net_feat_dim -= options.feat_reduce[1]
     designs = get_design_list(options.data_save_path, "test")

@@ -294,6 +294,9 @@ def main(argv=None):
     if options.debug_nans:
         # analogue of th.autograd.set_detect_anomaly(True) (src/train.py:452)
         jax.config.update("jax_debug_nans", True)
+    if options.compile_cache_dir:
+        jax.config.update("jax_compilation_cache_dir",
+                          options.compile_cache_dir)
     if options.preprocess:
         from .data import generate
         generate.main(argv)

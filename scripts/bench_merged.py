@@ -19,6 +19,8 @@ import time
 
 import numpy as np
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 NODES_PER_DESIGN = int(os.environ.get("BM_NODES", 20_000))
 NUM_LEVELS = int(os.environ.get("BM_LEVELS", 20))
 K = int(os.environ.get("BM_K", 4))
@@ -50,6 +52,7 @@ def _measure(step, state, design, ids, mask, trials=3):
 
 def main():
     import jax
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
     from prtp_tpu.data.random_design import bench_level_sizes, make_random_design
     from prtp_tpu.graph import merge_parsed_designs, pack_design
     from prtp_tpu.models import PathModel

@@ -79,13 +79,8 @@ def naive_timegnn_forward(params, g, out_dim, dgl_parity=True):
     those keep their carried state (ReLU'd, per the post-pull in-place
     activation over all level nodes, src/model.py:208).
     """
-    gp = (params["params"]["gnn"] if "gnn" in params["params"]
-          else params["params"])
-    # fc_cell_self / fc_net_self live on TimeGNN (hoisted out of the
-    # level walk); fc_cell_neigh (and fc_attn2) live on pair_step
-    pp = dict(gp["pair_step"])
-    pp["fc_cell_self"] = gp["fc_cell_self"]
-    pp["fc_net_self"] = gp["fc_net_self"]
+    pp = params["params"]["gnn"]["pair_step"] if "gnn" in params["params"] \
+        else params["params"]["pair_step"]
     n = g["num_nodes"]
     h = np.zeros((n, out_dim), dtype=np.float64)
     cell_in = {}

@@ -102,3 +102,30 @@ def test_fused_h0_cotangent():
     d_fused = jax.grad(lambda x: loss(x, True))(h0)
     np.testing.assert_allclose(np.asarray(d_fused), np.asarray(d_ref),
                                rtol=2e-4, atol=1e-5)
+
+
+def test_fused_bf16_compute_path():
+    """--compute_dtype bfloat16 through the fused exact path: forward
+    matches the f32 fused forward loosely, grads are finite bf16."""
+    import jax.numpy as jnp
+    rng = np.random.default_rng(11)
+    parsed = _design(rng, level_sizes=(5, 8, 6, 9, 4, 7))
+    d32 = pack_design(parsed, map_size=16, exact_levels=True)
+    d16 = pack_design(parsed, map_size=16, exact_levels=True,
+                      compute_dtype=jnp.bfloat16)
+    model = TimeGNN(out_dim=16, hidden_dim=32, fused_vjp=True)
+    v = model.init(jax.random.PRNGKey(0), d32.graph)
+    h32 = np.asarray(model.apply(v, d32.graph), np.float32)
+    h16 = np.asarray(model.apply(v, d16.graph), np.float32)
+    assert h16.dtype == np.float32 and np.all(np.isfinite(h16))
+    np.testing.assert_allclose(h16, h32, rtol=0.1, atol=0.15)
+
+    ep = d16.path_endpoint
+
+    def loss(p):
+        return (model.apply(p, d16.graph)[ep] ** 2).sum()
+
+    grads = jax.grad(loss)(v)
+    total = sum(float(np.abs(np.asarray(x, np.float32)).sum())
+                for x in jax.tree_util.tree_leaves(grads))
+    assert np.isfinite(total) and total > 0

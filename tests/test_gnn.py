@@ -141,3 +141,20 @@ def test_timegnn_multihead_heads_differ():
     h1 = np.array(m4.apply(p1, lg))
     assert np.all(np.isfinite(h4)) and np.all(np.isfinite(h1))
     assert not np.allclose(h4[node_row], h1[node_row])
+
+
+def test_exact_levels_attention_fallback():
+    """exact-levels + attention takes the autodiff fallback (fused VJP
+    covers the mailbox no-attn path only) and still runs fwd + grad."""
+    from prtp_tpu.graph import pack_leveled_graph_exact
+    rng = np.random.default_rng(5)
+    g = make_random_leveled_graph(rng, level_sizes=(5, 9, 7, 11, 6, 8))
+    lg, node_row, _nr = pack_leveled_graph_exact(g)
+    m = TimeGNN(out_dim=16, hidden_dim=32, flag_attn=True, num_heads=4)
+    v = m.init(jax.random.PRNGKey(0), lg)
+    h = np.asarray(m.apply(v, lg))
+    assert np.all(np.isfinite(h[node_row]))
+    grads = jax.grad(lambda p: jnp.sum(m.apply(p, lg) ** 2))(v)
+    tot = sum(float(np.abs(np.asarray(x)).sum())
+              for x in jax.tree_util.tree_leaves(grads))
+    assert np.isfinite(tot) and tot > 0

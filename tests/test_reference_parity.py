@@ -99,12 +99,7 @@ def reference_forward(params, parsed, feat_map_flat):
 
     Returns (num_paths,) predictions ordered by path id.
     """
-    gp = params["params"]["gnn"]
-    # fc_cell_self / fc_net_self are hoisted onto TimeGNN; fc_cell_neigh
-    # stays on pair_step
-    pp = dict(gp["pair_step"])
-    pp["fc_cell_self"] = gp["fc_cell_self"]
-    pp["fc_net_self"] = gp["fc_net_self"]
+    pp = params["params"]["gnn"]["pair_step"]
     n = int(parsed["num_nodes"])
     out_dim = np.asarray(pp["fc_cell_self"]["fc1"]["kernel"]).shape[1]
     h = np.zeros((n, out_dim), np.float64)
