@@ -165,3 +165,33 @@ def test_train_merged_exact_levels_cli(pipeline_dirs, tmp_path):
     with open(os.path.join(mdl, "stdout.log")) as f:
         log = f.read()
     assert "e0,syn_a+syn_b,b0/" in log
+
+
+def test_train_loss_decreases_bf16():
+    """--compute_dtype bfloat16 (bf16 node state/gathers, f32 params):
+    training still converges on a small random design."""
+    import jax
+    import jax.numpy as jnp
+    from prtp_tpu.data.random_design import make_random_design
+    from prtp_tpu.graph import pack_design
+    from prtp_tpu.models import PathModel
+    from prtp_tpu.trainer import (init_state, make_optimizer,
+                                  make_train_step, pad_batch)
+
+    parsed = make_random_design([12, 18, 14, 16, 10, 12], map_size=16,
+                                cnn_hw=64, seed=3)
+    pack = pack_design(parsed, map_size=16, exact_levels=True,
+                       compute_dtype=jnp.bfloat16)
+    model = PathModel(out_dim=16, hidden_dim=32, cnn_outdim=8,
+                      map_size=16, global_dim=8)
+    tx = make_optimizer(1e-2)
+    state = init_state(model, tx, pack, jax.random.PRNGKey(0))
+    step = make_train_step(model, tx, "reg", donate=False)
+    ids, mask = pad_batch(np.arange(pack.num_paths), pack.num_paths)
+    first = None
+    for _ in range(40):
+        state, mets = step(state, pack, ids, mask)
+        if first is None:
+            first = float(mets["loss"])
+    last = float(mets["loss"])
+    assert np.isfinite(last) and last < first * 0.5, (first, last)
