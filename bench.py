@@ -296,6 +296,9 @@ def bench_torch_cpu(parsed):
     return 1.0 / dt
 
 
+T_START = time.time()
+
+
 def main():
     parsed, sizes = build_design()
     log(f"bench design: {parsed['num_nodes']} nodes, "
@@ -310,9 +313,16 @@ def main():
     log(f"big design: {big_parsed['num_nodes']} nodes, "
         f"{len(big_parsed['cell_edges'][0]) + len(big_parsed['net_edges'][0])}"
         f" edges, {len(big_sizes)} levels")
+    # tunnel UNAVAILABLE faults are transient and a retry hits the warm
+    # compilation cache — but never let the optional big point starve
+    # the whole bench: attempts only start while under the time budget.
+    budget = _env("TIME_BUDGET", 1500)
     big_sps = None
-    for attempt in range(2):  # tunnel UNAVAILABLE faults are transient;
-        try:                  # a retry hits the warm compilation cache
+    for attempt in range(2):
+        if time.time() - T_START > budget:
+            log(f"big-design point skipped: over {budget}s budget")
+            break
+        try:
             big_sps, _, _, _ = bench_tpu(big_parsed, inference=False,
                                          trials=2)
             break
