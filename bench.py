@@ -98,7 +98,8 @@ def step_cost_model(parsed, batch):
 
 def bench_tpu(parsed, inference=True, trials=3):
     import jax
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    from prtp_tpu.utils.cache import enable_compile_cache
+    enable_compile_cache()
     from prtp_tpu.graph import pack_design
     from prtp_tpu.models import PathModel
     from prtp_tpu.trainer import (init_state, make_multi_train_step,
@@ -328,7 +329,8 @@ def main():
             break
         except Exception as e:
             log(f"big-design point failed (attempt {attempt}): {e}")
-            time.sleep(30)
+            if attempt == 0:  # only sleep when another attempt remains
+                time.sleep(30)
 
     try:
         cpu_sps = bench_torch_cpu(parsed)

@@ -310,6 +310,163 @@ def generate_design(design_dir: str, num_paths=6, depth=4, seed=0,
     return design_dir
 
 
+class _BigCircuit:
+    """Scale/robustness stress netlist (VERDICT r2 #6): a 50k-100k+-cell
+    design exercising the fidelity-critical reference paths at size —
+    3 levels of module hierarchy (top -> grp -> stage, io2arg tracing
+    through two boundaries: src/verilog_parser_asap7.py:559-617), wide
+    input buses with pointer args, escaped identifiers, transitive
+    ``assign`` alias chains (:1122-1150), and multiple SRAM macros.
+
+    Path i: DFF ``L{i}`` -> 2-deep assign alias chain -> ``grps``
+    serial ``grp`` instances (each = ``stages`` NAND stages, every stage
+    also driving a side INV load) -> DFF ``K{i}``.
+    Cells ~= num_paths * grps * stages * 2 + 2 * num_paths + SRAMs.
+    """
+
+    def __init__(self, num_paths=2048, stages=8, grps=3, seed=0):
+        self.R = num_paths
+        self.S = stages
+        self.B = grps
+        self.rng = np.random.default_rng(seed)
+        self.positions = {}
+
+    def _pos(self, name, x, y):
+        self.positions[name] = (float(x % 512), float(y % 512))
+
+    def _stage_positions(self, inst_prefix, x, y):
+        for pin, dx in (("n/A", 0), ("n/B", 1), ("n/Y", 2),
+                        ("f0/A", 3), ("f0/Y", 4)):
+            self._pos(f"{inst_prefix}/{pin}", x + dx, y)
+
+    def netlist(self) -> str:
+        R, S, B = self.R, self.S, self.B
+        lines = [
+            "// synthetic big stress design",
+            "module stage ( in, sel, out );",
+            "  input in;", "  input sel;", "  output out;",
+            "  wire side;",
+            "  NAND2x1_ASAP7_75t_R n ( .A(in), .B(sel), .Y(out) );",
+            "  INVx1_ASAP7_75t_R f0 ( .A(out), .Y(side) );",
+            "endmodule", "",
+            f"module grp ( in, sel, out );",
+            "  input in;", f"  input [{S - 1}:0] sel;", "  output out;",
+        ]
+        for k in range(S - 1):
+            lines.append(f"  wire t{k};")
+        for k in range(S):
+            src = "in" if k == 0 else f"t{k - 1}"
+            dst = "out" if k == S - 1 else f"t{k}"
+            lines.append(f"  stage s{k} ( .in({src}), .sel(sel[{k}]), "
+                         f".out({dst}) );")
+        lines += ["endmodule", ""]
+
+        lines.append(f"module big ( clk, pi_d, sel );")
+        lines += ["  input clk;", f"  input [{R - 1}:0] pi_d;",
+                  f"  input [{S - 1}:0] sel;"]
+        body = []
+        for i in range(R):
+            y = (12 + 7 * i)
+            lines.append(f"  wire q{i};")
+            lines.append(f"  wire qq{i};")
+            body.append(f"  DFFHQNx1_ASAP7_75t_R L{i} ( .D(pi_d[{i}]), "
+                        f".CLK(clk), .QN(q{i}) );")
+            for pin, dx in (("D", 0), ("CLK", 1), ("QN", 2)):
+                self._pos(f"L{i}/{pin}", 2 + dx, y)
+            # transitive assign alias chain (2 hops; path 0's first wire
+            # is an ESCAPED identifier)
+            a0 = f"\\a${i}.esc" if i == 0 else f"a{i}_0"
+            lines.append(f"  wire {a0} ;")
+            lines.append(f"  wire a{i}_1;")
+            body.append(f"  assign {a0} = q{i};")
+            body.append(f"  assign a{i}_1 = {a0} ;")
+            src = f"a{i}_1"
+            for b in range(B):
+                out = f"h{i}_{b}"
+                lines.append(f"  wire {out};")
+                gname = f"g{i}_{b}"
+                body.append(f"  grp {gname} ( .in({src}), .sel(sel), "
+                            f".out({out}) );")
+                for k in range(S):
+                    self._stage_positions(f"{gname}/s{k}",
+                                          16 + (b * S + k) * 9, y)
+                src = out
+            body.append(f"  DFFHQNx1_ASAP7_75t_R K{i} ( .D({src}), "
+                        f".CLK(clk), .QN(qq{i}) );")
+            for pin, dx in (("D", 0), ("CLK", 1), ("QN", 2)):
+                self._pos(f"K{i}/{pin}", 16 + B * S * 9 + dx, y)
+        # escaped INSTANCE name: extra off-path INV load on q0
+        lines.append("  wire esc_y;")
+        body.append("  INVx1_ASAP7_75t_R \\esc$inv ( .A(q0), .Y(esc_y) );")
+        for pin, dx in (("A", 0), ("Y", 1)):
+            self._pos(f"\\esc$inv/{pin}", 500 + dx, 500)
+        # multiple SRAM macros with concat bus addresses
+        for m in range(4):
+            lines.append(f"  wire [1:0] mo{m};")
+            body.append(
+                f"  SRAM2RW16x16 mem{m} ( .CLK(clk), .CE(pi_d[{m}]), "
+                f".A({{pi_d[{2 * m + 1}], pi_d[{2 * m}]}}), .O(mo{m}) );")
+            for pin, dx in (("CLK", 0), ("CE", 1), ("A[0]", 2), ("A[1]", 3),
+                            ("O[0]", 4), ("O[1]", 5)):
+                self._pos(f"mem{m}/{pin}", 470 + dx, 460 + 8 * m)
+        lines += body
+        lines.append("endmodule")
+        # PI pseudo-pin positions for driverless nets
+        self._pos("clk/clk", 1, 1)
+        for i in range(R):
+            self._pos(f"pi_d[{i}]/pi_d[{i}]", 1, 12 + 7 * i)
+        for k in range(S):
+            self._pos(f"sel[{k}]/sel[{k}]", 1, 4 + k)
+        return "\n".join(lines) + "\n"
+
+    def path_pins(self, i):
+        rows = [(f"L{i}/QN", "CLK->QN", "DFFHQNx1_ASAP7_75t_R"),
+                (f"q{i}", None, "(net)")]
+        for b in range(self.B):
+            for k in range(self.S):
+                rows.append((f"g{i}_{b}/s{k}/n/Y", "A->Y",
+                             "NAND2x1_ASAP7_75t_R"))
+                net = (f"h{i}_{b}" if k == self.S - 1
+                       else f"g{i}_{b}/t{k}")
+                rows.append((net, None, "(net)"))
+        rows.append((f"K{i}/D", "D", "DFFHQNx1_ASAP7_75t_R"))
+        return f"L{i}/CLK", f"K{i}/D", rows
+
+    # report / pin_bin / cnn writers shared with the small generator
+    report = _Circuit.report
+    pin_bin_txt = _Circuit.pin_bin_txt
+    cnn_maps = _Circuit.cnn_maps
+
+
+def generate_big_design(design_dir: str, num_paths=2048, stages=8, grps=3,
+                        seed=0, cnn_channels=2, cnn_hw=512,
+                        top_name="big"):
+    """Write one big stress design (see _BigCircuit) in the raw layout.
+
+    Defaults give ~102k cells (2048*8*3*2 chain cells + 4096 DFFs
+    + 1 escaped INV + 4 SRAMs), ~50 topo levels.
+    """
+    c = _BigCircuit(num_paths, stages, grps, seed)
+    netlist = c.netlist()
+    os.makedirs(os.path.join(design_dir, "post-place"), exist_ok=True)
+    os.makedirs(os.path.join(design_dir, "post-route"), exist_ok=True)
+    os.makedirs(os.path.join(design_dir, "positions"), exist_ok=True)
+    os.makedirs(os.path.join(design_dir, "features"), exist_ok=True)
+    with open(os.path.join(design_dir, "post-place/post-place.v"), "w") as f:
+        f.write(netlist)
+    with open(os.path.join(design_dir, "post-place/path.tarpt"), "w") as f:
+        f.write(c.report(post_route=False))
+    with open(os.path.join(design_dir, "post-route/path.tarpt"), "w") as f:
+        f.write(c.report(post_route=True))
+    with open(os.path.join(design_dir, "positions/pin_bin.txt"), "w") as f:
+        f.write(c.pin_bin_txt())
+    with open(os.path.join(design_dir, "features/datas.pkl"), "wb") as f:
+        pickle.dump(c.cnn_maps(cnn_channels, cnn_hw), f)
+    with open(os.path.join(design_dir, "top.txt"), "w") as f:
+        f.write(top_name + "\n")
+    return design_dir
+
+
 def generate_corpus(rawdata_path: str, designs=("syn_a", "syn_b", "syn_c"),
                     num_paths=6, depth=4, cnn_channels=2, cnn_hw=512):
     """Library JSONs + several designs with varied sizes."""

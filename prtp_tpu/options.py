@@ -9,7 +9,8 @@ sharding / precision flags); everything else is parity.
 """
 
 import argparse
-import os
+
+from .utils.cache import compile_cache_dir
 
 
 def get_options(args=None):
@@ -127,12 +128,18 @@ def get_options(args=None):
                           "per-design. The TPU-fast multi-design layout "
                           "(vmap-free).")
     tpu.add_argument("--compile_cache_dir", type=str,
-                     default=os.path.join(
-                         os.path.expanduser("~"), ".cache", "prtp_tpu_xla"),
+                     default=compile_cache_dir(),
                      help="persistent XLA compilation cache directory "
                           "(repeat runs skip recompiles — the unrolled "
                           "--exact_levels graph can cost minutes to compile "
-                          "on slow hosts). Empty string disables.")
+                          "on slow hosts). Shared with bench/driver entry "
+                          "points; env override PRTP_XLA_CACHE_DIR. "
+                          "Empty string disables.")
+    tpu.add_argument("--pallas", action="store_true",
+                     help="deprecated no-op (the Pallas kernel path was "
+                          "retired in round 2 with a measured cost-model "
+                          "rationale, see MODEL_NOTES.md; accepted so "
+                          "older invocations don't crash argparse)")
     tpu.add_argument("--exact_levels", action="store_true",
                      help="pack each design with true per-level shapes and "
                           "python-unroll the GNN (no padded compute; fastest "
@@ -165,4 +172,11 @@ def get_options(args=None):
                           "minutes-long designs, not tiny ones.")
 
     options = parser.parse_args(args)
+    if options.pallas:
+        import warnings
+        warnings.warn(
+            "--pallas is a deprecated no-op: the Pallas kernel path was "
+            "retired (MODEL_NOTES.md, 'Pallas retirement'); the fused "
+            "whole-propagation VJP is the default fast path.",
+            stacklevel=2)
     return options

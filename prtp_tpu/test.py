@@ -157,9 +157,8 @@ def _plot_relative_error(options, case_idx, levels, preds, arrival):
 def main(argv=None):
     options = get_options(argv)
     if options.compile_cache_dir:
-        import jax
-        jax.config.update("jax_compilation_cache_dir",
-                          options.compile_cache_dir)
+        from .utils.cache import enable_compile_cache
+        enable_compile_cache(options.compile_cache_dir)  # TPU-only
     options.cell_feat_dim -= options.feat_reduce[0]
     options.net_feat_dim -= options.feat_reduce[1]
     designs = get_design_list(options.data_save_path, "test")

@@ -295,8 +295,8 @@ def main(argv=None):
         # analogue of th.autograd.set_detect_anomaly(True) (src/train.py:452)
         jax.config.update("jax_debug_nans", True)
     if options.compile_cache_dir:
-        jax.config.update("jax_compilation_cache_dir",
-                          options.compile_cache_dir)
+        from .utils.cache import enable_compile_cache
+        enable_compile_cache(options.compile_cache_dir)  # TPU-only
     if options.preprocess:
         from .data import generate
         generate.main(argv)

@@ -1,1 +1,1 @@
-from . import metrics, tee, checkpoint  # noqa: F401
+from . import cache, metrics, tee, checkpoint  # noqa: F401

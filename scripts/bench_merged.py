@@ -52,7 +52,8 @@ def _measure(step, state, design, ids, mask, trials=3):
 
 def main():
     import jax
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    from prtp_tpu.utils.cache import enable_compile_cache
+    enable_compile_cache()
     from prtp_tpu.data.random_design import bench_level_sizes, make_random_design
     from prtp_tpu.graph import merge_parsed_designs, pack_design
     from prtp_tpu.models import PathModel
