@@ -492,7 +492,21 @@ def main(argv=None):
     p.add_argument("--depth", type=int, default=4)
     p.add_argument("--cnn_channels", type=int, default=2)
     p.add_argument("--cnn_hw", type=int, default=512)
+    p.add_argument("--big", action="store_true",
+                   help="emit one ~100k-cell hierarchical stress design "
+                        "(wide buses, escaped ids, assign chains, SRAMs) "
+                        "instead of the small corpus; --num_paths/--depth "
+                        "map to paths/stages-per-grp")
     args = p.parse_args(argv)
+    if args.big:
+        write_libs(args.out)
+        generate_big_design(
+            os.path.join(args.out, args.designs[0]),
+            num_paths=args.num_paths if args.num_paths != 6 else 2048,
+            stages=args.depth if args.depth != 4 else 8,
+            cnn_channels=args.cnn_channels, cnn_hw=args.cnn_hw)
+        print(f"wrote big stress design to {args.out}/{args.designs[0]}")
+        return
     generate_corpus(args.out, args.designs, args.num_paths, args.depth,
                     args.cnn_channels, args.cnn_hw)
     print(f"wrote synthetic corpus to {args.out}")
