@@ -298,6 +298,15 @@ class LeveledGraphExact:
     merged_rows: tuple = ()  # P x (U_k,) int32 unique prior rows, sorted
     intra_pos: tuple = ()    # P x (I_k,) int32 flat pos into net mailbox
     intra_slot: tuple = ()   # P x (I_k,) int32 local cell-block slot
+    # merged-forward tables (ops.fused_gnn): ONE global gather per pair
+    # serves both halves — gather_rows = [cell_mail.flat | net prior-row
+    # sources]; the net mailbox is then assembled by a LOCAL gather into
+    # buf = [new_cell (pn_c) | gathered prior (n_prior) | zero dummy]
+    # via net_local_idx. Intra-pair net sources (driver written by this
+    # pair's own cell half — the common case in real netlists) never
+    # touch HBM again.
+    gather_rows: tuple = ()    # P x (pn_c*md_c + n_prior,) int32
+    net_local_idx: tuple = ()  # P x (pn_n, md_n) int32 into buf
     cell_off: tuple = struct.field(pytree_node=False, default=())
     net_off: tuple = struct.field(pytree_node=False, default=())
     num_rows_static: int = struct.field(pytree_node=False, default=0)
@@ -387,6 +396,7 @@ def pack_leveled_graph_exact(parsed, compute_dtype=jnp.float32):
     # own cell block are kept separate (they feed the cell half's
     # backward chain).
     m_pos, m_seg, m_rows, i_pos, i_slot = [], [], [], [], []
+    g_rows, n_local = [], []
     for k in range(n_pairs):
         pn_c, md_c = cm[k].shape
         flat_c, src_c = crp[k].astype(np.int64), crr[k].astype(np.int64)
@@ -408,6 +418,19 @@ def pack_leveled_graph_exact(parsed, compute_dtype=jnp.float32):
         o2 = np.argsort(si, kind="stable")
         i_pos.append(fi[o2].astype(np.int32))
         i_slot.append(si[o2].astype(np.int32))
+        # merged-forward tables: one global gather for both halves
+        flat_nm = nm[k].reshape(-1).astype(np.int64)
+        validm = flat_nm != num_rows
+        prior_m = validm & (flat_nm < c0)
+        intra_m = validm & ~(flat_nm < c0)
+        n_prior = int(prior_m.sum())
+        local = np.full(flat_nm.shape, pn_c + n_prior, np.int64)  # dummy
+        local[intra_m] = flat_nm[intra_m] - c0
+        local[prior_m] = pn_c + np.arange(n_prior)
+        g_rows.append(np.concatenate(
+            [cm[k].reshape(-1).astype(np.int32),
+             flat_nm[prior_m].astype(np.int32)]))
+        n_local.append(local.reshape(nm[k].shape).astype(np.int32))
 
     graph = LeveledGraphExact(
         merged_pos=tuple(jnp.asarray(a) for a in m_pos),
@@ -415,6 +438,8 @@ def pack_leveled_graph_exact(parsed, compute_dtype=jnp.float32):
         merged_rows=tuple(jnp.asarray(a) for a in m_rows),
         intra_pos=tuple(jnp.asarray(a) for a in i_pos),
         intra_slot=tuple(jnp.asarray(a) for a in i_slot),
+        gather_rows=tuple(jnp.asarray(a) for a in g_rows),
+        net_local_idx=tuple(jnp.asarray(a) for a in n_local),
         cell_feat_lvl=tuple(jnp.asarray(b, dtype=compute_dtype)
                             for b in cell_feat_l),
         net_feat_lvl=tuple(jnp.asarray(b, dtype=compute_dtype)

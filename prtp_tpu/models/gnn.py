@@ -279,6 +279,7 @@ class TimeGNN(nn.Module):
                             dtype=g.cell_feat_lvl[0].dtype))
         if (self.fused_vjp and not self.flag_attn
                 and len(g.merged_pos) == g.num_pairs
+                and len(g.gather_rows) == g.num_pairs
                 and not self.is_initializing()):
             from ..ops.fused_gnn import fused_exact_gnn
             pp = self.variables["params"]["pair_step"]
@@ -294,7 +295,9 @@ class TimeGNN(nn.Module):
                      merged_seg=g.merged_seg[k],
                      merged_rows=g.merged_rows[k],
                      intra_pos=g.intra_pos[k],
-                     intra_slot=g.intra_slot[k])
+                     intra_slot=g.intra_slot[k],
+                     gather_rows=g.gather_rows[k],
+                     net_local_idx=g.net_local_idx[k])
                 for k in range(g.num_pairs))
             return fused_exact_gnn(config, params, h, blocks)
         step = _PairStep(

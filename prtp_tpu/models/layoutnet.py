@@ -9,13 +9,11 @@ from __future__ import annotations
 import jax
 import flax.linen as nn
 
+from ..ops.pool import pool_2x2
+
 
 def _pool(x, pooling: str):
-    if pooling == "max":
-        return nn.max_pool(x, (2, 2), strides=(2, 2))
-    if pooling == "avg":
-        return nn.avg_pool(x, (2, 2), strides=(2, 2))
-    raise ValueError(f"wrong pooling type for layoutnet: {pooling}")
+    return pool_2x2(x, pooling, what="layoutnet")
 
 
 class LayoutNet(nn.Module):

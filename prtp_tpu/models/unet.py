@@ -12,13 +12,11 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
+from ..ops.pool import pool_2x2
+
 
 def _pool(x, pooling: str):
-    if pooling == "max":
-        return nn.max_pool(x, (2, 2), strides=(2, 2))
-    if pooling == "avg":
-        return nn.avg_pool(x, (2, 2), strides=(2, 2))
-    raise ValueError(f"wrong pooling type for unet: {pooling}")
+    return pool_2x2(x, pooling, what="unet")
 
 
 class DoubleConv(nn.Module):

@@ -72,15 +72,29 @@ def _mean_sum(m, valid):
 
 
 def _forward_impl(config, params, h0, blocks):
+    """Merged-gather forward: ONE global (HBM) row gather per pair —
+    ``h[gather_rows]`` serves the cell mailbox AND the net half's
+    prior-row sources; the net mailbox is then assembled by a LOCAL
+    gather from ``[new_cell | gathered prior | 0]`` (intra-pair net
+    sources — the common case, the driver was just written by this
+    pair's cell half — never touch HBM again). Pair 0 skips the gather
+    entirely: PIs have no in-edges, its mailbox is all-dummy."""
     num_rows, dgl_parity, cell_off, net_off = config
     h = h0
     d = h.shape[1]
     for k, b in enumerate(blocks):
+        pn_c, md_c = b["cell_mail"].shape
+        # ---- one global gather for both halves ----
+        if k > 0 or b["gather_rows"].shape[0] > pn_c * md_c:
+            gat = h[b["gather_rows"]]  # (pn_c*md_c + n_prior, D)
+        else:
+            gat = None
         # ---- cell half (even level 2k) ----
         valid = (b["cell_mail"] != num_rows)[..., None]
-        neigh, _w = _softmax_sum(h[b["cell_mail"]], valid)
         pre = _mlp(params["fc_cell_self"], b["cell_feat"])
         if k > 0:  # level 0 drops the neighbor term
+            m_c = gat[: pn_c * md_c].reshape(pn_c, md_c, d)
+            neigh, _w = _softmax_sum(m_c, valid)
             pre = pre + _mlp(params["fc_cell_neigh"], neigh)
         new = jax.nn.relu(pre)
         if dgl_parity:
@@ -88,11 +102,16 @@ def _forward_impl(config, params, h0, blocks):
             old = jax.lax.dynamic_slice(
                 h, (cell_off[k], 0), (new.shape[0], d))
             new = jnp.where(has, new, jax.nn.relu(old))
-        h = jax.lax.dynamic_update_slice(h, new.astype(h.dtype),
-                                         (cell_off[k], 0))
-        # ---- net half (odd level 2k+1) ----
+        new = new.astype(h.dtype)
+        h = jax.lax.dynamic_update_slice(h, new, (cell_off[k], 0))
+        # ---- net half (odd level 2k+1): local-gather mailbox ----
         validn = (b["net_mail"] != num_rows)[..., None]
-        neigh_n, _cnt = _mean_sum(h[b["net_mail"]], validn)
+        prior = (gat[pn_c * md_c:] if gat is not None
+                 else jnp.zeros((0, d), h.dtype))
+        buf = jnp.concatenate(
+            [new, prior, jnp.zeros((1, d), h.dtype)], axis=0)
+        m_n = buf[b["net_local_idx"]]  # (pn_n, md_n, D) local gather
+        neigh_n, _cnt = _mean_sum(m_n, validn)
         pre_n = _mlp(params["fc_net_self"], b["net_feat"]) + neigh_n
         new_n = jax.nn.relu(pre_n)
         if dgl_parity:
