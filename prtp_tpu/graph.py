@@ -103,10 +103,42 @@ class DesignData:
     path_level: jnp.ndarray      # (num_paths,) float32 topo level of path
     path_masks: jnp.ndarray      # (num_paths, map_size^2) uint8
     cnn_input: jnp.ndarray       # (1, H, W, C) float — NHWC, TPU layout
+    # (K, H*W, 9*9*C) im2col patches of cnn_input, or None. The layout
+    # raster is STATIC per design, so the first LayoutNet conv is a
+    # LINEAR map of its kernel: fwd = patches @ kernel.reshape(-1, 32)
+    # and wgrad = patches^T @ grad — two MXU matmuls instead of the
+    # tiny-channel conv HLOs that profiled at 1.8-8 TFLOP/s (2.2 ms of
+    # a 15 ms step). Computed once on device at pack time.
+    cnn_patches: jnp.ndarray | None = None
 
     @property
     def num_paths(self) -> int:
         return self.path_endpoint.shape[0]
+
+
+def make_cnn_patches(x_nhwc, k: int = 9):
+    """Device-side im2col for a SAME-padded k x k / stride-1 conv.
+
+    (K, H, W, C) -> (K, H*W, k*k*C) bfloat16, patch index ordered
+    (ky, kx, ci) to match an HWIO kernel's ``reshape(k*k*C, feat)``.
+    Runs once at pack time (jitted); the result is design-constant
+    across train steps. Stored bf16 — the same product precision XLA's
+    DEFAULT TPU lowering uses for f32 convs — so the consuming matmul
+    needs no per-step convert of the table (0.77 ms/step when f32).
+    """
+    import jax
+
+    @jax.jit
+    def _impl(x):
+        n, h, w, c = x.shape
+        pad = k // 2
+        xp = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+        cols = [xp[:, dy:dy + h, dx:dx + w, :]
+                for dy in range(k) for dx in range(k)]
+        pat = jnp.stack(cols, axis=3)           # (K, H, W, k*k, C)
+        return pat.reshape(n, h * w, k * k * c).astype(jnp.bfloat16)
+
+    return _impl(x_nhwc)
 
 
 def bucket_shape(parsed_list, map_size=128, align=128):
@@ -458,7 +490,7 @@ def pack_leveled_graph_exact(parsed, compute_dtype=jnp.float32):
 
 
 def pack_design(parsed, map_size=128, align=128, compute_dtype=jnp.float32,
-                pad_to=None, exact_levels=False):
+                pad_to=None, exact_levels=False, cnn_patches=True):
     """Pack a host-side parsed design (dict of numpy arrays) into DesignData.
 
     ``parsed`` keys (see prtp_tpu.data.dataset.ParsedDesign):
@@ -505,6 +537,7 @@ def pack_design(parsed, map_size=128, align=128, compute_dtype=jnp.float32,
         cnn_nhwc = np.transpose(cnn_input, (1, 2, 0))[None]  # (1, H, W, C)
     else:  # (K, C, H, W) merged super-graph (merge_parsed_designs)
         cnn_nhwc = np.transpose(cnn_input, (0, 2, 3, 1))
+    cnn_dev = jnp.asarray(cnn_nhwc, dtype=compute_dtype)
     return DesignData(
         graph=graph,
         arrival_time=jnp.asarray(remap("arrival_time")),
@@ -513,7 +546,10 @@ def pack_design(parsed, map_size=128, align=128, compute_dtype=jnp.float32,
         path_endpoint=jnp.asarray(path_endpoint),
         path_level=jnp.asarray(path_level),
         path_masks=jnp.asarray(masks),
-        cnn_input=jnp.asarray(cnn_nhwc, dtype=compute_dtype),
+        cnn_input=cnn_dev,
+        # pass cnn_patches=False for the UNet branch / --no_cnn (unused
+        # there; the table costs H*W*81*C floats of HBM per raster)
+        cnn_patches=make_cnn_patches(cnn_dev) if cnn_patches else None,
     )
 
 

@@ -103,7 +103,11 @@ class PathModel(nn.Module):
             h = self.gnn(design.graph)
             parts.append(h[endpoints])
         if self.use_cnn:
-            feat_map = self.cnn(design.cnn_input, train=train)
+            if self.unet:
+                feat_map = self.cnn(design.cnn_input, train=train)
+            else:  # LayoutNet: static-raster im2col fast path when packed
+                feat_map = self.cnn(design.cnn_input, train=train,
+                                    patches=design.cnn_patches)
             rows = design.path_masks[path_ids].astype(feat_map.dtype)
             if grouped:
                 # (K, map^2) per-design maps; per-design fcn algebra

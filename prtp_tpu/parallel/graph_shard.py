@@ -37,9 +37,12 @@ def make_2d_mesh(n_dp: int, n_gp: int) -> Mesh:
                 (DP_AXIS, GP_AXIS))
 
 
-def design_shardings(mesh: Mesh, gp_axis: str = GP_AXIS):
+def design_shardings(mesh: Mesh, gp_axis: str = GP_AXIS,
+                     with_patches: bool = True):
     """NamedSharding pytree for DesignData: edge tables sharded along the
-    edge axis on ``gp``, everything else replicated."""
+    edge axis on ``gp``, everything else replicated. ``with_patches``
+    must match whether the design carries a ``cnn_patches`` table (the
+    two pytrees must have the same structure)."""
     repl = NamedSharding(mesh, P())
     edge = NamedSharding(mesh, P(None, gp_axis))
     graph = LeveledGraph(
@@ -54,6 +57,7 @@ def design_shardings(mesh: Mesh, gp_axis: str = GP_AXIS):
         graph=graph, arrival_time=repl, required_time=repl,
         is_critical=repl, path_endpoint=repl, path_level=repl,
         path_masks=repl, cnn_input=repl,
+        cnn_patches=repl if with_patches else None,
     )
 
 
@@ -64,7 +68,8 @@ def shard_design(mesh: Mesh, design: DesignData,
     Edge table widths must be divisible by the gp mesh size (the packer
     aligns them to 128, so any power-of-two gp size works).
     """
-    sh = design_shardings(mesh, gp_axis)
+    sh = design_shardings(mesh, gp_axis,
+                          with_patches=design.cnn_patches is not None)
     return jax.tree_util.tree_map(jax.device_put, design, sh)
 
 
@@ -72,7 +77,8 @@ def make_graph_sharded_train_step(model, tx, mesh: Mesh,
                                   task: str = "reg",
                                   batch_axis: str | None = DP_AXIS,
                                   gp_axis: str = GP_AXIS,
-                                  donate: bool = True):
+                                  donate: bool = True,
+                                  with_patches: bool = True):
     """Train step jitted over a (dp, gp) mesh: path batch sharded on dp,
     edge tables sharded on gp, state replicated.
 
@@ -97,7 +103,7 @@ def make_graph_sharded_train_step(model, tx, mesh: Mesh,
 
     repl = NamedSharding(mesh, P())
     batch_sh = (NamedSharding(mesh, P(batch_axis)) if batch_axis else repl)
-    design_sh = design_shardings(mesh, gp_axis)
+    design_sh = design_shardings(mesh, gp_axis, with_patches=with_patches)
     return jax.jit(
         step_fn,
         in_shardings=(repl, design_sh, batch_sh, batch_sh),

@@ -133,10 +133,14 @@ def train(options, seed):
                                           f"{d}.npz"))
              for d in all_designs], map_size=options.map_size)
 
+    # the im2col patch table only serves the LayoutNet fast path
+    want_patches = not options.no_cnn and not options.unet
+
     def packer(parsed):
         return pack_design(parsed, map_size=options.map_size,
                            compute_dtype=compute_dtype, pad_to=bucket,
-                           exact_levels=options.exact_levels)
+                           exact_levels=options.exact_levels,
+                           cnn_patches=want_patches)
 
     cache_tr = DesignCache(packer)
     cache_val = DesignCache(packer)
@@ -152,7 +156,8 @@ def train(options, seed):
         merged_pack = pack_design(
             merged_parsed, map_size=options.map_size,
             compute_dtype=compute_dtype,
-            exact_levels=options.exact_levels)
+            exact_levels=options.exact_levels,
+            cnn_patches=want_patches)
         merged_universes = merged_parsed["path_ids_per_design"]
         first_pack = merged_pack
     else:

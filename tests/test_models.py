@@ -108,3 +108,56 @@ def test_pathmodel_cls_task_logits():
     vars_ = model.init(jax.random.PRNGKey(0), design, path_ids)
     out = model.apply(vars_, design, path_ids)
     assert out.shape == (design.num_paths, 2)
+
+
+def test_layoutnet_static_patches_matches_conv():
+    """The pack-time im2col fast path (DesignData.cnn_patches) is the
+    same math as the first conv: forward AND gradients must agree, and
+    the param tree / init values must be identical to the plain-conv
+    structure (checkpoint compatibility)."""
+    from prtp_tpu.graph import make_cnn_patches
+    from prtp_tpu.models.layoutnet import LayoutNet
+
+    rng = np.random.default_rng(21)
+    x = jnp.asarray(rng.standard_normal((1, 16, 16, 2)), jnp.float32)
+    net = LayoutNet()
+    v = net.init(jax.random.PRNGKey(3), x)
+    pat = make_cnn_patches(x, k=9)
+    y_conv = net.apply(v, x)
+    y_pat = net.apply(v, x, patches=pat)
+    # the patch table is stored bf16 (TPU-native conv product precision)
+    # so CPU comparison against the exact-f32 conv carries bf16 input
+    # rounding (~0.4% relative)
+    np.testing.assert_allclose(np.asarray(y_conv), np.asarray(y_pat),
+                               rtol=2e-2, atol=2e-2)
+
+    def loss(v, use_pat):
+        out = net.apply(v, x, patches=pat if use_pat else None)
+        return jnp.sum(out ** 2)
+
+    g1 = jax.grad(loss)(v, False)
+    g2 = jax.grad(loss)(v, True)
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g2)):
+        denom = max(1.0, float(np.abs(np.asarray(a)).max()))
+        np.testing.assert_allclose(np.asarray(a) / denom,
+                                   np.asarray(b) / denom,
+                                   rtol=3e-2, atol=3e-2)
+
+
+def test_pathmodel_without_patches_matches_with():
+    """pack_design(cnn_patches=False) must produce the same predictions
+    as the default patch-table packing."""
+    rng = np.random.default_rng(22)
+    parsed = _tiny_parsed_design(rng)
+    d_pat = pack_design(parsed, map_size=16, align=8)
+    d_conv = pack_design(parsed, map_size=16, align=8, cnn_patches=False)
+    assert d_pat.cnn_patches is not None and d_conv.cnn_patches is None
+    model = PathModel(out_dim=16, hidden_dim=32, cnn_outdim=8, map_size=16,
+                      global_dim=8)
+    path_ids = jnp.arange(d_pat.num_paths, dtype=jnp.int32)
+    v = model.init(jax.random.PRNGKey(0), d_pat, path_ids)
+    out1 = model.apply(v, d_pat, path_ids)
+    out2 = model.apply(v, d_conv, path_ids)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2),
+                               rtol=2e-2, atol=2e-2)
