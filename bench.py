@@ -47,6 +47,8 @@ CPU_STEPS = _env("CPU_STEPS", 10)  # timed after a discarded warm-up step
 # second bench point: the 300k-node scale check (TPU only)
 BIG_NODES = _env("BIG_NODES", 300_000)
 BIG_LEVELS = _env("BIG_LEVELS", 26)
+# grouped-scan group count (bench big point / BENCH_BIG_PACKING=grouped)
+SCAN_GROUPS = _env("SCAN_GROUPS", 4)
 # third bench point: merged super-graph multi-design training (TPU only)
 MERGED_K = _env("MERGED_K", 8)
 MERGED_NODES = _env("MERGED_NODES", 20_000)
@@ -115,7 +117,7 @@ def step_cost_model(parsed, batch):
     return total_flops, bytes_step
 
 
-def bench_tpu(parsed, inference=True, trials=3, exact_levels=True):
+def bench_tpu(parsed, inference=True, trials=3, packing="exact"):
     import jax
     from prtp_tpu.utils.cache import enable_compile_cache
     enable_compile_cache()
@@ -131,9 +133,11 @@ def bench_tpu(parsed, inference=True, trials=3, exact_levels=True):
              else jnp.float32)
     t0 = time.time()
     design = pack_design(parsed, map_size=MAP_SIZE,
-                         exact_levels=exact_levels, compute_dtype=dtype)
+                         exact_levels=packing == "exact",
+                         scan_groups=SCAN_GROUPS if packing == "grouped"
+                         else 1, compute_dtype=dtype)
     log(f"pack_design: {time.time() - t0:.1f}s dtype={dtype.__name__} "
-        f"packing={'exact' if exact_levels else 'scan'}")
+        f"packing={packing}")
     model = PathModel(out_dim=OUT_DIM, hidden_dim=HIDDEN,
                       cnn_outdim=OUT_DIM, map_size=MAP_SIZE)
     tx = make_optimizer(1e-3)
@@ -438,7 +442,7 @@ def _child_point(point):
             f"{len(parsed['cell_edges'][0]) + len(parsed['net_edges'][0])}"
             f" edges, {len(sizes)} levels, packing={packing}")
         sps, _, _, _, _ = bench_tpu(parsed, inference=False, trials=2,
-                                    exact_levels=packing == "exact")
+                                    packing=packing)
         out.update(big_sps=sps, packing=packing,
                    nodes=int(parsed["num_nodes"]),
                    edges=int(len(parsed["cell_edges"][0])
@@ -508,12 +512,15 @@ def main():
     if merged is None:
         log(f"merged-{MERGED_K} point: null")
 
-    # 300k point: exact-levels packing first (fastest steps; multi-minute
-    # cold compile — the persistent cache makes retries cheap), padded-
-    # scan fallback (compiles in seconds; a number the tunnel can't
-    # starve).
+    # 300k point: grouped-scan packing first (per-group padded shapes:
+    # near-exact compute, G compiled scan bodies — the exact-levels
+    # unroll's multi-minute XLA compile is repeatedly killed by this
+    # container's TPU tunnel and has never landed at this size), padded
+    # single-scan fallback (compiles in ~20s; a number the tunnel can't
+    # starve). BENCH_BIG_PACKING overrides the first attempt.
+    first = os.environ.get("BENCH_BIG_PACKING", "grouped")
     big = (_run_point("big", timeout=max(120.0, min(1200.0, remaining())),
-                      extra_env={"BENCH_BIG_PACKING": "exact"})
+                      extra_env={"BENCH_BIG_PACKING": first})
            if remaining() > 60 else None)
     if big is None and remaining() > 60:
         big = _run_point("big", timeout=max(120.0, min(600.0, remaining())),

@@ -302,6 +302,207 @@ def pack_leveled_graph(parsed, align=128, pad_to=None,
 
 
 @struct.dataclass
+class LeveledGraphGrouped:
+    """Grouped-scan packing: level pairs partitioned into contiguous
+    GROUPS, each padded to its own group maxima and run as one
+    ``lax.scan`` — the middle ground between the single padded scan
+    (1 compiled body, up to ~5x padded compute on front-loaded real
+    netlists) and the exact unroll (zero padding, one compiled region
+    set per level — a 300k-node/26-level program whose multi-minute XLA
+    compile this container's TPU tunnel repeatedly kills). With G~4
+    groups chosen by :func:`choose_pair_groups` the padded compute
+    overhead is typically <1.4x while compile cost stays at G scan
+    bodies (seconds).
+
+    Row layout is level-contiguous like the other containers, but the
+    stride varies per group; absolute per-pair row offsets ride the
+    scans as data. Padded index tables use ``num_rows`` as the gather
+    dummy (global, NOT the per-group row count).
+    """
+
+    groups: tuple          # of LeveledGraph (per-group padded tables)
+    group_pair_idx: tuple  # of (Pg,) int32 GLOBAL pair indices
+    group_cell_off: tuple  # of (Pg,) int32 absolute cell-block row offsets
+    group_net_off: tuple   # of (Pg,) int32 absolute net-block row offsets
+    num_rows_static: int = struct.field(pytree_node=False, default=0)
+
+    @property
+    def num_pairs(self) -> int:
+        return sum(g.num_pairs for g in self.groups)
+
+    @property
+    def num_rows(self) -> int:
+        return self.num_rows_static
+
+
+def choose_pair_groups(cell_sizes, net_sizes, num_groups):
+    """Contiguous partition of level pairs into <= ``num_groups`` groups
+    minimizing the padded compute sum_g P_g * (max_cell_g + max_net_g)
+    (exact DP — P is tens of pairs, cost is negligible)."""
+    p = len(cell_sizes)
+    assert p >= 1
+    num_groups = max(1, min(int(num_groups), p))
+    cost = {}
+
+    def seg_cost(i, j):  # pairs [i, j)
+        if (i, j) not in cost:
+            cost[(i, j)] = (j - i) * (max(cell_sizes[i:j])
+                                      + max(net_sizes[i:j]))
+        return cost[(i, j)]
+
+    inf = float("inf")
+    dp = [[inf] * (p + 1) for _ in range(num_groups + 1)]
+    back = [[0] * (p + 1) for _ in range(num_groups + 1)]
+    dp[0][0] = 0.0
+    for k in range(1, num_groups + 1):
+        for j in range(1, p + 1):
+            for i in range(k - 1, j):
+                if dp[k - 1][i] is inf:
+                    continue
+                c = dp[k - 1][i] + seg_cost(i, j)
+                if c < dp[k][j]:
+                    dp[k][j], back[k][j] = c, i
+    k_best = min(range(1, num_groups + 1), key=lambda k: (dp[k][p], k))
+    bounds, j, k = [], p, k_best
+    while k:
+        i = back[k][j]
+        bounds.append((i, j))
+        j, k = i, k - 1
+    return list(reversed(bounds))
+
+
+def pack_leveled_graph_grouped(parsed, num_groups=4, align=128,
+                               compute_dtype=jnp.float32):
+    """Grouped-scan packer. Returns (graph, node_row, num_rows)."""
+    levels = parsed["levels"]
+    n = int(parsed["num_nodes"])
+    n_levels = len(levels)
+    n_pairs = (n_levels + 1) // 2
+
+    def lvl_ids(li):
+        return (np.asarray(levels[li][0], dtype=np.int64)
+                if li < n_levels else np.zeros(0, np.int64))
+
+    cell_sizes = [len(lvl_ids(2 * k)) for k in range(n_pairs)]
+    net_sizes = [len(lvl_ids(2 * k + 1)) for k in range(n_pairs)]
+    bounds = choose_pair_groups(cell_sizes, net_sizes, num_groups)
+
+    # per-group padded dims + global row layout
+    g_pn = []
+    for k0, k1 in bounds:
+        g_pn.append((_round_up(max(cell_sizes[k0:k1]), align),
+                     _round_up(max(net_sizes[k0:k1]), align)))
+    cell_off = np.zeros(n_pairs, np.int64)
+    net_off = np.zeros(n_pairs, np.int64)
+    base = 0
+    for (k0, k1), (pn_c, pn_n) in zip(bounds, g_pn):
+        for k in range(k0, k1):
+            cell_off[k] = base
+            net_off[k] = base + pn_c
+            base += pn_c + pn_n
+    num_rows = int(base)
+
+    node_row = np.full(n, num_rows, dtype=np.int64)
+    node_level = np.full(n, -1, dtype=np.int64)
+    for li in range(min(2 * n_pairs, n_levels)):
+        ids = lvl_ids(li)
+        k = li // 2
+        off = cell_off[k] if li % 2 == 0 else net_off[k]
+        node_row[ids] = off + np.arange(len(ids))
+        node_level[ids] = li
+
+    fc = parsed["cell_feat"].shape[1]
+    fn = parsed["net_feat"].shape[1]
+    src_c, dst_c = (np.asarray(parsed["cell_edges"][0], np.int64),
+                    np.asarray(parsed["cell_edges"][1], np.int64))
+    src_n, dst_n = (np.asarray(parsed["net_edges"][0], np.int64),
+                    np.asarray(parsed["net_edges"][1], np.int64))
+    lev_c, lev_n = node_level[dst_c], node_level[dst_n]
+
+    groups, g_pair_idx, g_cell_off, g_net_off = [], [], [], []
+    for (k0, k1), (pn_c, pn_n) in zip(bounds, g_pn):
+        pg = k1 - k0
+        cf = np.zeros((pg, pn_c, fc), np.float32)
+        nf = np.zeros((pg, pn_n, fn), np.float32)
+        for k in range(k0, k1):
+            ids_c, ids_n = lvl_ids(2 * k), lvl_ids(2 * k + 1)
+            cf[k - k0, : len(ids_c)] = parsed["cell_feat"][ids_c]
+            nf[k - k0, : len(ids_n)] = parsed["net_feat"][ids_n]
+
+        def edge_tables(parity, src, dst, lev, pn, offs):
+            pe = 1
+            sel_by_pair = {}
+            for k in range(k0, k1):
+                sel = lev == (2 * k + parity)
+                sel_by_pair[k] = sel
+                pe = max(pe, int(sel.sum()))
+            pe = _round_up(pe, align)
+            md = 1
+            for k, sel in sel_by_pair.items():
+                if sel.any():
+                    _, deg = np.unique(dst[sel], return_counts=True)
+                    md = max(md, int(deg.max()))
+            srcs = np.full((pg, pe), num_rows, np.int32)
+            dsts = np.full((pg, pe), pn, np.int32)
+            mail = np.full((pg, pn, md), num_rows, np.int32)
+            rev_pos = np.zeros((pg, pe), np.int32)
+            rev_rows = np.full((pg, pe), num_rows, np.int32)
+            for k, sel in sel_by_pair.items():
+                e_src = node_row[src[sel]]
+                slot = node_row[dst[sel]] - offs[k]
+                order = np.argsort(slot, kind="stable")
+                e_src = e_src[order].astype(np.int32)
+                slot = slot[order].astype(np.int32)
+                i = k - k0
+                srcs[i, : len(e_src)] = e_src
+                dsts[i, : len(slot)] = slot
+                pos = np.arange(len(slot)) - np.searchsorted(slot, slot)
+                mail[i, slot, pos] = e_src
+                flat = (slot.astype(np.int64) * md + pos).astype(np.int32)
+                order2 = np.argsort(e_src, kind="stable")
+                rev_pos[i, : len(flat)] = flat[order2]
+                rev_rows[i, : len(flat)] = e_src[order2]
+            return srcs, dsts, mail, rev_pos, rev_rows
+
+        (c_src, c_dst, c_mail, c_rpos, c_rrows) = edge_tables(
+            0, src_c, dst_c, lev_c, pn_c, cell_off)
+        (n_src, n_dst, n_mail, n_rpos, n_rrows) = edge_tables(
+            1, src_n, dst_n, lev_n, pn_n, net_off)
+        net_cnt = np.zeros((pg, pn_n + 1), np.float32)
+        for i in range(pg):
+            np.add.at(net_cnt[i], n_dst[i], 1.0)
+        net_cnt = np.maximum(net_cnt[:, :pn_n], 1.0)
+
+        groups.append(LeveledGraph(
+            cell_feat_lvl=jnp.asarray(cf, dtype=compute_dtype),
+            net_feat_lvl=jnp.asarray(nf, dtype=compute_dtype),
+            cell_src=jnp.asarray(c_src),
+            cell_dst_slot=jnp.asarray(c_dst),
+            net_src=jnp.asarray(n_src),
+            net_dst_slot=jnp.asarray(n_dst),
+            net_cnt=jnp.asarray(net_cnt),
+            cell_mail=jnp.asarray(c_mail),
+            net_mail=jnp.asarray(n_mail),
+            cell_rev_pos=jnp.asarray(c_rpos),
+            cell_rev_rows=jnp.asarray(c_rrows),
+            net_rev_pos=jnp.asarray(n_rpos),
+            net_rev_rows=jnp.asarray(n_rrows),
+        ))
+        g_pair_idx.append(jnp.arange(k0, k1, dtype=jnp.int32))
+        g_cell_off.append(jnp.asarray(cell_off[k0:k1], jnp.int32))
+        g_net_off.append(jnp.asarray(net_off[k0:k1], jnp.int32))
+
+    graph = LeveledGraphGrouped(
+        groups=tuple(groups),
+        group_pair_idx=tuple(g_pair_idx),
+        group_cell_off=tuple(g_cell_off),
+        group_net_off=tuple(g_net_off),
+        num_rows_static=num_rows,
+    )
+    return graph, node_row, num_rows
+
+
+@struct.dataclass
 class LeveledGraphExact:
     """Exact-shape variant: per-pair tables as tuples of arrays with the
     TRUE level sizes (no shared padding) — the GNN unrolls a python loop
@@ -490,7 +691,8 @@ def pack_leveled_graph_exact(parsed, compute_dtype=jnp.float32):
 
 
 def pack_design(parsed, map_size=128, align=128, compute_dtype=jnp.float32,
-                pad_to=None, exact_levels=False, cnn_patches=True):
+                pad_to=None, exact_levels=False, cnn_patches=True,
+                scan_groups=1):
     """Pack a host-side parsed design (dict of numpy arrays) into DesignData.
 
     ``parsed`` keys (see prtp_tpu.data.dataset.ParsedDesign):
@@ -509,6 +711,12 @@ def pack_design(parsed, map_size=128, align=128, compute_dtype=jnp.float32,
             "exact_levels has true per-level shapes; bucketing unsupported"
         graph, node_row, num_rows = pack_leveled_graph_exact(
             parsed, compute_dtype=compute_dtype)
+    elif scan_groups and scan_groups > 1:
+        assert pad_to is None, \
+            "grouped scan has per-group shapes; bucketing unsupported"
+        graph, node_row, num_rows = pack_leveled_graph_grouped(
+            parsed, num_groups=scan_groups, align=align,
+            compute_dtype=compute_dtype)
     else:
         graph, node_row, num_rows = pack_leveled_graph(
             parsed, align=align, pad_to=pad_to, compute_dtype=compute_dtype)

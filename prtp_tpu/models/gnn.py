@@ -214,40 +214,22 @@ class TimeGNN(nn.Module):
 
     @nn.compact
     def __call__(self, g, h0=None):
-        from ..graph import LeveledGraphExact
+        from ..graph import LeveledGraphExact, LeveledGraphGrouped
         if isinstance(g, LeveledGraphExact):
             return self._call_exact(g, h0)
+        grouped = isinstance(g, LeveledGraphGrouped)
         num_rows = g.num_rows
-        stride = g.pn_c + g.pn_n
+        feat_dtype = (g.groups[0] if grouped else g).cell_feat_lvl.dtype
         h = (h0 if h0 is not None
              else jnp.zeros((num_rows + 1, self.out_dim),
-                            dtype=g.cell_feat_lvl.dtype))
-        pair_idx = jnp.arange(g.num_pairs, dtype=jnp.int32)
-        xs = {
-            "pair_idx": pair_idx,
-            "cell_off": pair_idx * stride,
-            "net_off": pair_idx * stride + g.pn_c,
-            "cell_feat": g.cell_feat_lvl,
-            "net_feat": g.net_feat_lvl,
-        }
-        if self.reduce_mode == "mailbox":
-            xs.update(cell_mail=g.cell_mail, net_mail=g.net_mail,
-                      cell_rev_pos=g.cell_rev_pos,
-                      cell_rev_rows=g.cell_rev_rows,
-                      net_rev_pos=g.net_rev_pos,
-                      net_rev_rows=g.net_rev_rows)
-        else:
-            xs.update(cell_src=g.cell_src, cell_dst_slot=g.cell_dst_slot,
-                      net_src=g.net_src, net_dst_slot=g.net_dst_slot,
-                      net_cnt=g.net_cnt)
-        scan = nn.scan(
+                            dtype=feat_dtype))
+        scan_mod = nn.scan(
             _PairStep,
             variable_broadcast="params",
             split_rngs={"params": False},
             in_axes=0,
             unroll=self.unroll,
-        )
-        h, _ = scan(
+        )(
             out_dim=self.out_dim,
             num_rows=num_rows,
             hidden_dim=self.hidden_dim,
@@ -256,7 +238,44 @@ class TimeGNN(nn.Module):
             reduce_mode=self.reduce_mode,
             dgl_parity=self.dgl_parity,
             name="pair_step",
-        )(h, xs)
+        )
+
+        def group_xs(sub, pair_idx, cell_off, net_off):
+            xs = {
+                "pair_idx": pair_idx,
+                "cell_off": cell_off,
+                "net_off": net_off,
+                "cell_feat": sub.cell_feat_lvl,
+                "net_feat": sub.net_feat_lvl,
+            }
+            if self.reduce_mode == "mailbox":
+                xs.update(cell_mail=sub.cell_mail, net_mail=sub.net_mail,
+                          cell_rev_pos=sub.cell_rev_pos,
+                          cell_rev_rows=sub.cell_rev_rows,
+                          net_rev_pos=sub.net_rev_pos,
+                          net_rev_rows=sub.net_rev_rows)
+            else:
+                xs.update(cell_src=sub.cell_src,
+                          cell_dst_slot=sub.cell_dst_slot,
+                          net_src=sub.net_src,
+                          net_dst_slot=sub.net_dst_slot,
+                          net_cnt=sub.net_cnt)
+            return xs
+
+        if grouped:
+            # python loop over groups, one lax.scan per group; the SAME
+            # bound module is called each time (shared params). Compile
+            # cost = G scan bodies; padded compute bounded by the
+            # choose_pair_groups partition.
+            for gi, sub in enumerate(g.groups):
+                h, _ = scan_mod(h, group_xs(
+                    sub, g.group_pair_idx[gi], g.group_cell_off[gi],
+                    g.group_net_off[gi]))
+            return h
+        pair_idx = jnp.arange(g.num_pairs, dtype=jnp.int32)
+        stride = g.pn_c + g.pn_n
+        h, _ = scan_mod(h, group_xs(g, pair_idx, pair_idx * stride,
+                                    pair_idx * stride + g.pn_c))
         return h
 
     def _call_exact(self, g, h0=None):

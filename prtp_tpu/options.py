@@ -145,6 +145,15 @@ def get_options(args=None):
                           "python-unroll the GNN (no padded compute; fastest "
                           "per design, one compile per design shape — "
                           "disables cross-design bucketing)")
+    tpu.add_argument("--scan_groups", type=int, default=1,
+                     help="partition GNN level pairs into N contiguous "
+                          "groups, each padded to its own maxima and run "
+                          "as one lax.scan — the middle ground between "
+                          "the single padded scan (N=1, one compiled "
+                          "body, most padded compute) and --exact_levels "
+                          "(no padding, slowest compile). Disables "
+                          "cross-design bucketing when N>1; ignored "
+                          "under --exact_levels")
     tpu.add_argument("--gnn_unroll", type=int, default=1,
                      help="lax.scan unroll factor over GNN level pairs; "
                           "0 = fully unroll (fastest on kernel-launch-bound "

@@ -69,18 +69,21 @@ def test(options, designs):
     # one padded bucket across designs => a single eval-step compile;
     # --exact_levels trades that for zero padded compute per design
     exact = getattr(options, "exact_levels", False)
-    bucket = (None if exact
+    scan_groups = 1 if exact else max(1, getattr(options, "scan_groups", 1))
+    bucket = (None if exact or scan_groups > 1
               else bucket_shape(parsed_all, map_size=options.map_size))
     want_patches = not options.no_cnn and not options.unet
     first_pack = pack_design(parsed_all[0], map_size=options.map_size,
                              pad_to=bucket, exact_levels=exact,
+                             scan_groups=scan_groups,
                              cnn_patches=want_patches)
     model, state, _config = load_model_state(options, first_pack)
     eval_step = make_eval_step(model, options.task)
 
     for case_idx, (design, parsed) in enumerate(zip(designs, parsed_all)):
         pack = pack_design(parsed, map_size=options.map_size, pad_to=bucket,
-                           exact_levels=exact, cnn_patches=want_patches)
+                           exact_levels=exact, scan_groups=scan_groups,
+                           cnn_patches=want_patches)
         start_time = time()
         all_ids = np.arange(parsed["num_paths"], dtype=np.int64)
         pids, mask = pad_batch(all_ids, pack.num_paths)

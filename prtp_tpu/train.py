@@ -119,8 +119,11 @@ def train(options, seed):
     compute_dtype = (jnp.bfloat16 if options.compute_dtype == "bfloat16"
                      else jnp.float32)
 
-    if options.exact_levels:
-        # true per-level shapes, python-unrolled GNN: fastest per design,
+    scan_groups = (1 if options.exact_levels
+                   else max(1, getattr(options, "scan_groups", 1)))
+    if options.exact_levels or scan_groups > 1:
+        # per-design shapes (true per-level under --exact_levels,
+        # per-group maxima under --scan_groups): fastest per design,
         # one compile per design shape
         bucket = None
     else:
@@ -140,6 +143,7 @@ def train(options, seed):
         return pack_design(parsed, map_size=options.map_size,
                            compute_dtype=compute_dtype, pad_to=bucket,
                            exact_levels=options.exact_levels,
+                           scan_groups=scan_groups,
                            cnn_patches=want_patches)
 
     cache_tr = DesignCache(packer)
@@ -157,6 +161,7 @@ def train(options, seed):
             merged_parsed, map_size=options.map_size,
             compute_dtype=compute_dtype,
             exact_levels=options.exact_levels,
+            scan_groups=scan_groups,
             cnn_patches=want_patches)
         merged_universes = merged_parsed["path_ids_per_design"]
         first_pack = merged_pack

@@ -195,3 +195,21 @@ def test_train_loss_decreases_bf16():
             first = float(mets["loss"])
     last = float(mets["loss"])
     assert np.isfinite(last) and last < first * 0.5, (first, last)
+
+
+def test_train_scan_groups_cli(pipeline_dirs, tmp_path):
+    """--scan_groups N: grouped-scan packing through the full train CLI
+    (per-design shapes, no bucketing) and the eval CLI."""
+    from prtp_tpu import train as train_mod
+    from prtp_tpu import test as test_mod
+
+    _raw, data, _ = pipeline_dirs
+    mdl = str(tmp_path / "mdl_groups")
+    args = (["--data_save_path", data, "--model_saving_dir", mdl,
+             "--num_epoch", "1", "--max_steps", "3", "--val_interval", "2",
+             "--scan_groups", "2"] + MAP_ARGS)
+    train_mod.main(args)
+    assert os.path.exists(os.path.join(mdl, "model.msgpack"))
+    test_mod.main(["--data_save_path", data, "--model_saving_dir", mdl,
+                   "--scan_groups", "2"] + MAP_ARGS)
+    assert os.path.exists(os.path.join(mdl, "predict.txt"))

@@ -158,3 +158,53 @@ def test_exact_levels_attention_fallback():
     tot = sum(float(np.abs(np.asarray(x)).sum())
               for x in jax.tree_util.tree_leaves(grads))
     assert np.isfinite(tot) and tot > 0
+
+
+def test_grouped_scan_matches_padded():
+    """Grouped-scan packing (G contiguous pair groups, per-group padding)
+    == the single padded scan and the naive reference, same params, both
+    reduce modes; grads flow and match the padded scan's."""
+    from prtp_tpu.graph import pack_leveled_graph_grouped
+    rng = np.random.default_rng(23)
+    # front-loaded profile (the case grouped packing exists for)
+    g = make_random_leveled_graph(rng, level_sizes=(40, 30, 24, 18, 6, 5,
+                                                    4, 4, 3, 3))
+    lg_pad, row_pad = _pack(g)
+    lg_gr, row_gr, _nr = pack_leveled_graph_grouped(g, num_groups=3,
+                                                    align=8)
+    assert len(lg_gr.groups) > 1, "partition must actually split"
+    for reduce_mode in ("mailbox", "segment"):
+        model = TimeGNN(out_dim=16, hidden_dim=32, reduce_mode=reduce_mode)
+        params = model.init(jax.random.PRNGKey(0), lg_pad)
+        h_pad = np.array(model.apply(params, lg_pad))
+        h_gr = np.array(model.apply(params, lg_gr))
+        np.testing.assert_allclose(h_gr[row_gr], h_pad[row_pad],
+                                   rtol=1e-4, atol=1e-5)
+
+        def loss(p, lg, row):
+            return jnp.sum(model.apply(p, lg)[jnp.asarray(row)] ** 2)
+
+        g_pad = jax.grad(loss)(params, lg_pad, row_pad)
+        g_gr = jax.grad(loss)(params, lg_gr, row_gr)
+        for a, b in zip(jax.tree_util.tree_leaves(g_pad),
+                        jax.tree_util.tree_leaves(g_gr)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-3, atol=1e-5)
+
+
+def test_choose_pair_groups_partition():
+    from prtp_tpu.graph import choose_pair_groups
+    cell = [100, 80, 10, 8, 6, 4]
+    net = [90, 70, 9, 7, 5, 3]
+    bounds = choose_pair_groups(cell, net, 3)
+    # contiguous cover of [0, 6)
+    assert bounds[0][0] == 0 and bounds[-1][1] == 6
+    assert all(a[1] == b[0] for a, b in zip(bounds, bounds[1:]))
+    # padded compute must beat the single-group (full scan) cost
+    one = choose_pair_groups(cell, net, 1)
+    def cost(bs):
+        return sum((j - i) * (max(cell[i:j]) + max(net[i:j]))
+                   for i, j in bs)
+    assert cost(bounds) < cost(one)
+    # degenerate cases
+    assert choose_pair_groups([5], [4], 4) == [(0, 1)]

@@ -161,3 +161,21 @@ def test_pathmodel_without_patches_matches_with():
     out2 = model.apply(v, d_conv, path_ids)
     np.testing.assert_allclose(np.asarray(out1), np.asarray(out2),
                                rtol=2e-2, atol=2e-2)
+
+
+def test_pathmodel_scan_groups_matches_default():
+    """pack_design(scan_groups=N) predictions == the default scan packing
+    (same parsed design, same params)."""
+    rng = np.random.default_rng(29)
+    parsed = _tiny_parsed_design(rng)
+    d_plain = pack_design(parsed, map_size=16, align=8, cnn_patches=False)
+    d_group = pack_design(parsed, map_size=16, align=8, cnn_patches=False,
+                          scan_groups=2)
+    model = PathModel(out_dim=16, hidden_dim=32, cnn_outdim=8, map_size=16,
+                      global_dim=8)
+    path_ids = jnp.arange(d_plain.num_paths, dtype=jnp.int32)
+    v = model.init(jax.random.PRNGKey(0), d_group, path_ids)
+    out1 = model.apply(v, d_plain, path_ids)
+    out2 = model.apply(v, d_group, path_ids)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2),
+                               rtol=1e-4, atol=1e-5)
