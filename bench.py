@@ -47,8 +47,8 @@ CPU_STEPS = _env("CPU_STEPS", 10)  # timed after a discarded warm-up step
 # second bench point: the 300k-node scale check (TPU only)
 BIG_NODES = _env("BIG_NODES", 300_000)
 BIG_LEVELS = _env("BIG_LEVELS", 26)
-# grouped-scan group count (bench big point / BENCH_BIG_PACKING=grouped)
-SCAN_GROUPS = _env("SCAN_GROUPS", 4)
+# grouped-scan group count (BENCH_*_PACKING=grouped points)
+SCAN_GROUPS = _env("SCAN_GROUPS", 6)
 # third bench point: merged super-graph multi-design training (TPU only)
 MERGED_K = _env("MERGED_K", 8)
 MERGED_NODES = _env("MERGED_NODES", 20_000)
@@ -226,7 +226,7 @@ def bench_tpu(parsed, inference=True, trials=3, packing="exact"):
 
 
 def bench_merged(k=MERGED_K, nodes=MERGED_NODES, levels=MERGED_LEVELS,
-                 trials=2):
+                 trials=2, packing="exact"):
     """K-design merged super-graph training throughput (design-steps/s).
 
     `graph.merge_parsed_designs` unions K designs' levels into one
@@ -251,7 +251,10 @@ def bench_merged(k=MERGED_K, nodes=MERGED_NODES, levels=MERGED_LEVELS,
         for i in range(k)
     ]
     merged = merge_parsed_designs(parsed_list)
-    design = pack_design(merged, map_size=MAP_SIZE, exact_levels=True)
+    design = pack_design(merged, map_size=MAP_SIZE,
+                         exact_levels=packing == "exact",
+                         scan_groups=SCAN_GROUPS if packing == "grouped"
+                         else 1)
     model = PathModel(out_dim=OUT_DIM, hidden_dim=HIDDEN,
                       cnn_outdim=OUT_DIM, map_size=MAP_SIZE)
     tx = make_optimizer(1e-3)
@@ -418,23 +421,27 @@ def _child_point(point):
     """
     out = {"point": point}
     if point == "headline":
+        packing = os.environ.get("BENCH_HEADLINE_PACKING", "exact")
         parsed, sizes = build_design()
         log(f"bench design: {parsed['num_nodes']} nodes, "
             f"{len(parsed['cell_edges'][0])} cell-edges, "
             f"{len(parsed['net_edges'][0])} net-edges, "
             f"{parsed['num_paths']} paths, {len(sizes)} levels "
             f"(front-loaded profile, first level {sizes[0]})")
-        tpu_sps, num_paths, batch, inf_dps, xla_flops = bench_tpu(parsed)
+        tpu_sps, num_paths, batch, inf_dps, xla_flops = bench_tpu(
+            parsed, packing=packing)
         import jax
         out.update(
             tpu_sps=tpu_sps, num_paths=int(num_paths), batch=int(batch),
-            inf_dps=inf_dps, xla_flops=xla_flops,
+            inf_dps=inf_dps, xla_flops=xla_flops, packing=packing,
             device_kind=jax.devices()[0].device_kind,
             nodes=int(parsed["num_nodes"]),
             edges=int(len(parsed["cell_edges"][0])
                       + len(parsed["net_edges"][0])))
     elif point == "merged":
-        out["merged_sps"] = bench_merged()
+        packing = os.environ.get("BENCH_MERGED_PACKING", "exact")
+        out["merged_sps"] = bench_merged(packing=packing)
+        out["packing"] = packing
     elif point == "big":
         packing = os.environ.get("BENCH_BIG_PACKING", "exact")
         parsed, sizes = build_design(BIG_NODES, BIG_LEVELS, seed=11)
@@ -490,11 +497,25 @@ def main():
     def remaining():
         return budget - (time.time() - T_START)
 
-    # The headline point MUST land: give it the budget, retry once on a
-    # fresh client (a tunnel fault does not survive the process).
-    head = _run_point("headline", timeout=max(300.0, remaining()))
+    # The headline point MUST land: exact-levels packing, retried on a
+    # fresh client (a tunnel fault does not survive the process), then a
+    # grouped-scan fallback — in this container's degraded-tunnel
+    # windows the device ABORTS large-op-count programs while the same
+    # workload packed as G scan bodies still runs (measured 66.9 vs
+    # 71.9 steps/s healthy).
+    # Per-attempt caps leave budget for the fallbacks: a STALLED tunnel
+    # (no fast error, just a hung dispatch) must not eat the whole
+    # budget in attempt 1. Warm-cache attempts need ~3 min; 900s covers
+    # a cold exact compile; the grouped fallback compiles in ~1 min.
+    head = _run_point("headline",
+                      timeout=max(300.0, min(900.0, remaining())))
     if head is None:
-        head = _run_point("headline", timeout=max(300.0, remaining()))
+        head = _run_point("headline",
+                          timeout=max(300.0, min(450.0, remaining())))
+    if head is None:
+        head = _run_point(
+            "headline", timeout=max(300.0, min(600.0, remaining())),
+            extra_env={"BENCH_HEADLINE_PACKING": "grouped"})
     if head is None:
         print(json.dumps({"metric": "train_steps_per_sec", "value": None,
                           "unit": "steps/s", "vs_baseline": None,
@@ -505,9 +526,14 @@ def main():
     num_paths, inf_dps = head["num_paths"], head["inf_dps"]
     xla_flops = head["xla_flops"]
 
-    # merged super-graph point (design-steps/s)
+    # merged super-graph point (design-steps/s); grouped-scan fallback
+    # like the headline
     merged = (_run_point("merged", timeout=max(120.0, min(600.0, remaining())))
               if remaining() > 60 else None)
+    if merged is None and remaining() > 60:
+        merged = _run_point(
+            "merged", timeout=max(120.0, min(600.0, remaining())),
+            extra_env={"BENCH_MERGED_PACKING": "grouped"})
     merged_sps = merged["merged_sps"] if merged else None
     if merged is None:
         log(f"merged-{MERGED_K} point: null")
@@ -557,6 +583,7 @@ def main():
                          + len(parsed["net_edges"][0])),
             "paths": int(num_paths),
             "batch": int(batch),
+            "packing": head.get("packing", "exact"),
             "inference_designs_per_sec": round(inf_dps, 2),
             "baseline": "torch-cpu reference-style levelized step "
                         f"({CPU_STEPS} timed steps, warm-up discarded)",
