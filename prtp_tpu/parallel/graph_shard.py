@@ -21,7 +21,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 import numpy as np
 import optax
 
-from ..graph import DesignData, LeveledGraph
+from ..graph import DesignData, LeveledGraph, LeveledGraphGrouped
 from ..trainer import TrainState, _forward, _task_loss_and_metrics
 
 GP_AXIS = "gp"
@@ -37,15 +37,10 @@ def make_2d_mesh(n_dp: int, n_gp: int) -> Mesh:
                 (DP_AXIS, GP_AXIS))
 
 
-def design_shardings(mesh: Mesh, gp_axis: str = GP_AXIS,
-                     with_patches: bool = True):
-    """NamedSharding pytree for DesignData: edge tables sharded along the
-    edge axis on ``gp``, everything else replicated. ``with_patches``
-    must match whether the design carries a ``cnn_patches`` table (the
-    two pytrees must have the same structure)."""
+def _graph_shardings(mesh: Mesh, gp_axis: str):
     repl = NamedSharding(mesh, P())
     edge = NamedSharding(mesh, P(None, gp_axis))
-    graph = LeveledGraph(
+    return LeveledGraph(
         cell_feat_lvl=repl, net_feat_lvl=repl,
         cell_src=edge, cell_dst_slot=edge,
         net_src=edge, net_dst_slot=edge, net_cnt=repl,
@@ -53,8 +48,34 @@ def design_shardings(mesh: Mesh, gp_axis: str = GP_AXIS,
         cell_rev_pos=repl, cell_rev_rows=repl,
         net_rev_pos=repl, net_rev_rows=repl,
     )
+
+
+def design_shardings(mesh: Mesh, gp_axis: str = GP_AXIS,
+                     with_patches: bool = True, graph=None):
+    """NamedSharding pytree for DesignData: edge tables sharded along the
+    edge axis on ``gp``, everything else replicated. ``with_patches``
+    must match whether the design carries a ``cnn_patches`` table, and
+    ``graph`` the design's graph container when it is a grouped-scan
+    :class:`LeveledGraphGrouped` (its static fields are pytree aux data,
+    so the sharding container must carry the SAME values) — the sharding
+    pytree must mirror the design's structure exactly."""
+    repl = NamedSharding(mesh, P())
+    if isinstance(graph, LeveledGraphGrouped):
+        # grouped-scan container: each group's edge tables shard the
+        # same way (the per-group tables are just (Pg, Pe_g) slices)
+        n = len(graph.groups)
+        graph_sh = LeveledGraphGrouped(
+            groups=tuple(_graph_shardings(mesh, gp_axis)
+                         for _ in range(n)),
+            group_pair_idx=(repl,) * n,
+            group_cell_off=(repl,) * n,
+            group_net_off=(repl,) * n,
+            num_rows_static=graph.num_rows_static,
+        )
+    else:
+        graph_sh = _graph_shardings(mesh, gp_axis)
     return DesignData(
-        graph=graph, arrival_time=repl, required_time=repl,
+        graph=graph_sh, arrival_time=repl, required_time=repl,
         is_critical=repl, path_endpoint=repl, path_level=repl,
         path_masks=repl, cnn_input=repl,
         cnn_patches=repl if with_patches else None,
@@ -68,8 +89,9 @@ def shard_design(mesh: Mesh, design: DesignData,
     Edge table widths must be divisible by the gp mesh size (the packer
     aligns them to 128, so any power-of-two gp size works).
     """
-    sh = design_shardings(mesh, gp_axis,
-                          with_patches=design.cnn_patches is not None)
+    sh = design_shardings(
+        mesh, gp_axis, with_patches=design.cnn_patches is not None,
+        graph=design.graph)
     return jax.tree_util.tree_map(jax.device_put, design, sh)
 
 
@@ -78,7 +100,8 @@ def make_graph_sharded_train_step(model, tx, mesh: Mesh,
                                   batch_axis: str | None = DP_AXIS,
                                   gp_axis: str = GP_AXIS,
                                   donate: bool = True,
-                                  with_patches: bool = True):
+                                  with_patches: bool = True,
+                                  graph=None):
     """Train step jitted over a (dp, gp) mesh: path batch sharded on dp,
     edge tables sharded on gp, state replicated.
 
@@ -103,7 +126,8 @@ def make_graph_sharded_train_step(model, tx, mesh: Mesh,
 
     repl = NamedSharding(mesh, P())
     batch_sh = (NamedSharding(mesh, P(batch_axis)) if batch_axis else repl)
-    design_sh = design_shardings(mesh, gp_axis, with_patches=with_patches)
+    design_sh = design_shardings(mesh, gp_axis, with_patches=with_patches,
+                                 graph=graph)
     return jax.jit(
         step_fn,
         in_shardings=(repl, design_sh, batch_sh, batch_sh),

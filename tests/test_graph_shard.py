@@ -75,3 +75,27 @@ def test_gp_only_mesh(setup):
     _s1, m1 = single(state, design, ids, mask)
     np.testing.assert_allclose(float(m["loss"]), float(m1["loss"]),
                                rtol=1e-4)
+
+
+def test_grouped_scan_sharded_step_matches_single(setup):
+    """Grouped-scan packing composes with the (dp, gp) edge-parallel
+    sharding: per-group edge tables shard on gp, statics preserved."""
+    model, tx, state, _design, ids, mask = setup
+    rng = np.random.default_rng(31)
+    parsed = _tiny_parsed_design(rng)
+    design = pack_design(parsed, map_size=16, align=8, scan_groups=2)
+    from prtp_tpu.graph import LeveledGraphGrouped
+    assert isinstance(design.graph, LeveledGraphGrouped)
+    state = init_state(model, tx, design, jax.random.PRNGKey(0))
+
+    single = make_train_step(model, tx, donate=False)
+    _s1, m1 = single(state, design, ids, mask)
+
+    mesh = make_2d_mesh(4, 2)
+    sharded = shard_design(mesh, design)
+    step = make_graph_sharded_train_step(model, tx, mesh, donate=False,
+                                         graph=design.graph)
+    _s2, m2 = step(state, sharded, ids, mask)
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=1e-4)
+    np.testing.assert_allclose(float(m1["r2"]), float(m2["r2"]), rtol=1e-3)
