@@ -61,20 +61,29 @@ def parse_pin_locations(path: str, map_size: int = MAP_SIZE_X,
     The chip canvas is 512x512 microns binned to map_size x map_size
     (bin size 4 at the reference default of 128, reference :252).
     """
-    res = {}
     with open(path) as f:
-        for line in f:
-            if line.startswith("==="):
-                continue
-            pin_name, coord_x, coord_y = line.split(" ")
-            pin_name = (pin_name.replace("\\[", "[").replace("\\]", "]")
-                        .replace("\\", ""))
-            coord_x, coord_y = float(coord_x), float(coord_y.strip())
-            bx, by = pin2bin(coord_x, coord_y,
-                             int(canvas / map_size), int(canvas / map_size),
-                             map_x=map_size, map_y=map_size)
-            res[pin_name] = (coord_x, coord_y, bx, by)
-    return res
+        text = f.read()
+    if text.startswith("===") or "\n===" in text:
+        text = "\n".join(l for l in text.split("\n")
+                         if not l.startswith("==="))
+    # one whole-file split: every record is "name x y" and names never
+    # contain whitespace, so tokens come in groups of three
+    toks = text.split()
+    if len(toks) % 3:
+        raise ValueError(f"malformed pin location file: {path}")
+    names = toks[0::3]
+    if "\\" in text:
+        # reference strips escapes: "\\[" -> "[", "\\]" -> "]", then all
+        # remaining "\\" — the composite effect is dropping every "\\"
+        names = [n.replace("\\", "") if "\\" in n else n for n in names]
+    xs = np.asarray(toks[1::3], dtype=np.float64)
+    ys = np.asarray(toks[2::3], dtype=np.float64)
+    bs = float(int(canvas / map_size))
+    # int() truncates toward zero, as does astype; then clamp (ref :162-176)
+    bx = np.clip((xs / bs).astype(np.int64), 0, map_size - 1)
+    by = np.clip((ys / bs).astype(np.int64), 0, map_size - 1)
+    return dict(zip(names, zip(xs.tolist(), ys.tolist(),
+                               bx.tolist(), by.tolist())))
 
 
 @dataclass
@@ -155,6 +164,37 @@ class NetlistBuilder:
         # graph state: insertion-ordered node attr map + edge lists
         self.node_attrs: Dict[str, dict] = {}
         self.edges: List[Tuple[str, str, str]] = []  # (src, dst, etype)
+
+        # per-cell-type caches: leaf cells repeat a handful of library
+        # types across 100k+ instances, so port classification, sink
+        # caps, abstract type and register-ness are memoized by name
+        self._cell_cache: Dict[str, tuple] = {}
+        self._port_cache: Dict[str, Dict[str, tuple]] = {}
+
+    def _cell_meta(self, cell_name: str):
+        meta = self._cell_cache.get(cell_name)
+        if meta is None:
+            meta = (abstract_cell_type(cell_name),
+                    self.is_register(cell_name), "DFF" in cell_name)
+            self._cell_cache[cell_name] = meta
+        return meta
+
+    def _port_meta(self, cell_name: str, portname: str):
+        ports = self._port_cache.get(cell_name)
+        if ports is None:
+            ports = {}
+            self._port_cache[cell_name] = ports
+        meta = ports.get(portname)
+        if meta is None:
+            if self.is_output_port(cell_name, portname):
+                meta = ("fanout", 0.0, False)
+            else:
+                is_clk = "clk" in portname.lower()
+                cap = float(self.cell_info_map[cell_name]["pin_info"]
+                            [portname]["capacitance"])
+                meta = ("CLK" if is_clk else "fanin", cap, is_clk)
+            ports[portname] = meta
+        return meta
 
     # ------------------------------------------------------------ lib
 
@@ -246,53 +286,44 @@ class NetlistBuilder:
         edges (registers: clk->output only). Reference parse_cell,
         :831-958."""
         cell_name = inst.module
-        ctype = abstract_cell_type(cell_name)
+        ctype, is_reg, is_dff = self._cell_meta(cell_name)
         self.cell_type_count[ctype] = self.cell_type_count.get(ctype, 0) + 1
         instance_name = (inst.name if call_path == ""
                          else f"{call_path}/{inst.name}")
         instance_name = instance_name.replace("\\", "")
 
         fanins, fanouts = [], []
-        ports = []
+        nets = self.nets
+        node_attrs = self.node_attrs
         for portname, arg in inst.conns:
-            if self.is_output_port(cell_name, portname):
-                ptype = "fanout"
-            elif "clk" in portname.lower():
-                ptype = "CLK"
-            else:
-                ptype = "fanin"
-            ports.append((portname, arg, ptype))
-            if ptype in ("CLK", "fanin"):
-                fanins.append(portname)
-            else:
-                fanouts.append(portname)
-
-        for portname, arg, ptype in ports:
+            ptype, cap, is_clk = self._port_meta(cell_name, portname)
             netname = arg_to_str(arg)
             netname = update_netname(netname, call_path, io2arg)
             netname = netname.replace("\\", "")
             pinname = f"{instance_name}/{portname}"
             position = self._pin_position(pinname)
-            ninfo = self.nets.setdefault(netname, NetInfo(netname))
+            ninfo = nets.get(netname)
+            if ninfo is None:
+                ninfo = NetInfo(netname)
+                nets[netname] = ninfo
             if ptype == "fanout":
                 pin_type = "drive"
                 ninfo.drive_pin = pinname
                 ninfo.drive_cell = cell_name
+                fanouts.append(portname)
             else:
                 pin_type = "sink"
                 ninfo.sink_pins.append(pinname)
-                cap = float(self.cell_info_map[cell_name]["pin_info"]
-                            [portname]["capacitance"])
                 ninfo.total_output_cap += cap
-            self.node_attrs[pinname] = {
+                fanins.append((portname, is_clk))
+            node_attrs[pinname] = {
                 "net": netname, "cell_type": cell_name, "port": portname,
                 "pin_type": pin_type, "position": position,
-                "DFF": "DFF" in cell_name,
+                "DFF": is_dff,
             }
-        is_reg = self.is_register(cell_name)
         for fo in fanouts:
-            for fi in fanins:
-                if is_reg and "clk" not in fi.lower():
+            for fi, fi_is_clk in fanins:
+                if is_reg and not fi_is_clk:
                     continue
                 self.edges.append((f"{instance_name}/{fi}",
                                    f"{instance_name}/{fo}", "cell"))
@@ -416,28 +447,71 @@ class NetlistBuilder:
         # every packed array, and the .npz bytes all derive from level
         # order, so string-set iteration (PYTHONHASHSEED-dependent) would
         # make preprocessing nondeterministic across runs/workers.
-        levels = [sorted(pis)]
-        cur = levels[0]
-        remaining = set(pis)
-        while True:
-            nxt = set()
-            for nd in cur:
-                nxt.update(succs.get(nd, ()))
-            if not nxt:
+        # Vectorized equivalent of the reference's frontier BFS + reverse
+        # de-dup: a node's final level is the DEEPEST frontier it appears
+        # in (= its longest-path distance from the PI set), computed here
+        # with interned ids and a CSR successor table so the per-level
+        # work is numpy gathers instead of Python set unions.
+        id_of: Dict[str, int] = {}
+        names: List[str] = []
+        eu_l: List[int] = []
+        ev_l: List[int] = []
+        for u, vs in succs.items():
+            ui = id_of.get(u)
+            if ui is None:
+                ui = len(names)
+                id_of[u] = ui
+                names.append(u)
+            for v in vs:
+                vi = id_of.get(v)
+                if vi is None:
+                    vi = len(names)
+                    id_of[v] = vi
+                    names.append(v)
+                eu_l.append(ui)
+                ev_l.append(vi)
+        for p in pis:
+            if p not in id_of:
+                id_of[p] = len(names)
+                names.append(p)
+        n = len(names)
+        eu = np.asarray(eu_l, dtype=np.int64)
+        ev = np.asarray(ev_l, dtype=np.int64)
+        order = np.argsort(eu, kind="stable")
+        ev_sorted = ev[order]
+        indptr = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(np.bincount(eu, minlength=n), out=indptr[1:])
+
+        deepest = np.full(n, -1, dtype=np.int64)
+        cur = np.unique(np.fromiter((id_of[p] for p in pis),
+                                    dtype=np.int64, count=len(pis)))
+        deepest[cur] = 0
+        lvl = 0
+        while cur.size:
+            starts = indptr[cur]
+            counts = indptr[cur + 1] - starts
+            total = int(counts.sum())
+            if total == 0:
                 break
-            cur = sorted(nxt)
-            levels.append(cur)
-            remaining |= nxt
-        visited: Set[str] = set()
+            base = np.repeat(starts, counts)
+            within = np.arange(total) - np.repeat(
+                np.cumsum(counts) - counts, counts)
+            nxt = np.unique(ev_sorted[base + within])
+            lvl += 1
+            deepest[nxt] = lvl
+            cur = nxt
+        reach = np.nonzero(deepest >= 0)[0].tolist()
+        by_level: List[List[str]] = [[] for _ in range(lvl + 1)]
+        dlist = deepest.tolist()
+        for i in reach:
+            by_level[dlist[i]].append(names[i])
         rev = []
-        for rlevel in reversed(levels):
-            new_rlevel = set(rlevel) - visited
-            visited |= new_rlevel
-            new_rlevel = sorted(new_rlevel)
-            targets = [nd for nd in new_rlevel if nd in pos]
+        for lvl_nodes in by_level:
+            lvl_nodes.sort()
+            targets = [nd for nd in lvl_nodes if nd in pos]
             path_ids = [po2path[t] for t in targets]
-            rev.append((new_rlevel, targets, path_ids))
-        rev.reverse()
+            rev.append((lvl_nodes, targets, path_ids))
+        remaining = {names[i] for i in reach}
         removed = set(self.node_attrs) - remaining
         for nd in removed:
             del self.node_attrs[nd]
@@ -554,12 +628,10 @@ class NetlistBuilder:
         self._resolve_aliases()
         pin2outcap, pis = self._connect_nets()
 
-        # adjacency
+        # adjacency (preds only needed post-prune, built below)
         succs: Dict[str, list] = {}
-        preds: Dict[str, list] = {}
         for u, v, _t in self.edges:
             succs.setdefault(u, []).append(v)
-            preds.setdefault(v, []).append(u)
 
         pos = set()
         po2path = {}
