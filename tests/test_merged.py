@@ -41,10 +41,11 @@ def _grouped_ids(parsed_list, pad_to):
     return jnp.asarray(ids), jnp.asarray(mask)
 
 
-@pytest.mark.parametrize("exact", [False, True])
-def test_merged_forward_matches_per_design(parsed_list, exact):
+@pytest.mark.parametrize("exact,groups", [(False, 1), (True, 1), (False, 2)])
+def test_merged_forward_matches_per_design(parsed_list, exact, groups):
     merged = merge_parsed_designs(parsed_list)
-    d_merged = pack_design(merged, map_size=16, align=8, exact_levels=exact)
+    d_merged = pack_design(merged, map_size=16, align=8, exact_levels=exact,
+                           scan_groups=groups)
     model = PathModel(**MODEL_KW)
 
     b = max(p["num_paths"] for p in parsed_list)
