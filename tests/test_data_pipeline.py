@@ -278,3 +278,53 @@ def test_pipeline_scales_to_10k_cells(tmp_path):
     parsed = load_design_npz(out)
     assert parsed["num_nodes"] > 10000
     assert dt < 60, f"host pipeline too slow: {dt:.1f}s"
+
+
+# ------------------------------------------- vectorized host-path units
+
+def test_parse_pin_locations_format(tmp_path):
+    """Whole-file tokenized parse: === headers skipped, escapes stripped
+    (reference drops every backslash), coords kept as python floats,
+    bins truncated-toward-zero then clamped."""
+    from prtp_tpu.data.netlist import parse_pin_locations
+    p = tmp_path / "pin_bin.txt"
+    p.write_text("=== pin locations ===\n"
+                 "u0/A 1.0 2.0\n"
+                 "\\esc[3].x/Y 511.9 -5.0\n"
+                 "u0/A 9.0 9.0\n")  # duplicate: last wins (dict semantics)
+    res = parse_pin_locations(str(p), map_size=128, canvas=512.0)
+    assert set(res) == {"u0/A", "esc[3].x/Y"}
+    x, y, bx, by = res["esc[3].x/Y"]
+    assert (x, y) == (511.9, -5.0) and (bx, by) == (127, 0)
+    x, y, bx, by = res["u0/A"]
+    assert isinstance(x, float) and isinstance(bx, int)
+    assert (x, y, bx, by) == (9.0, 9.0, 2, 2)
+
+
+def test_topo_levels_deepest_and_prune():
+    """The numpy levelization must keep the reference semantics: a node
+    lands in its DEEPEST BFS frontier (longest path from the PI set),
+    per-level name order is sorted, and nodes unreachable from PIs are
+    pruned from node_attrs along with their edges."""
+    from prtp_tpu.data.netlist import NetlistBuilder
+    b = NetlistBuilder("top", "critical", cell_info_map={}, cell_lib={})
+    # p1, p2 PIs; p2 is ALSO a successor of p1 -> reassigned to level 1,
+    # which pushes c (a successor of p2) to level 2 and d to level 3 —
+    # longest-path-from-PI levels, exactly the reference's BFS dedup.
+    # q is unreachable and must be pruned with its edge q->c.
+    edges = [("p1", "p2", "net"), ("p1", "c", "cell"), ("p2", "c", "net"),
+             ("p1", "d", "net"), ("c", "d", "cell"), ("q", "c", "cell")]
+    b.edges = list(edges)
+    b.node_attrs = {nd: {} for nd in "p1 p2 c d q".split()}
+    succs = {}
+    for u, v, _t in edges:
+        succs.setdefault(u, []).append(v)
+    pos = {"d"}
+    rev = b._topo_levels(succs, {"p1", "p2"}, pos, {"d": 7})
+    got = [lvl for lvl, _t, _p in rev]
+    assert got == [["p1"], ["p2"], ["c"], ["d"]]
+    targets = [t for _l, t, _p in rev]
+    path_ids = [p for _l, _t, p in rev]
+    assert targets == [[], [], [], ["d"]] and path_ids == [[], [], [], [7]]
+    assert "q" not in b.node_attrs and len(b.node_attrs) == 4
+    assert ("q", "c", "cell") not in b.edges and len(b.edges) == 5
