@@ -99,3 +99,38 @@ def test_grouped_scan_sharded_step_matches_single(setup):
     np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
                                rtol=1e-4)
     np.testing.assert_allclose(float(m1["r2"]), float(m2["r2"]), rtol=1e-3)
+
+
+def test_merged_designs_on_2d_mesh():
+    """Flagship scale-out composition: K merged designs' grouped path
+    batch (K, B) sharded on dp, the merged super-graph's edge tables
+    sharded on gp — must match the single-device merged step."""
+    from prtp_tpu.graph import merge_parsed_designs
+    rng = np.random.default_rng(5)
+    parsed_list = [_tiny_parsed_design(rng) for _ in range(4)]
+    merged = merge_parsed_designs(parsed_list)
+    design = pack_design(merged, map_size=16, align=8)
+    model = PathModel(out_dim=16, hidden_dim=32, cnn_outdim=8, map_size=16,
+                      global_dim=8, gnn_reduce="segment")
+    tx = make_optimizer(1e-3)
+    state = init_state(model, tx, design, jax.random.PRNGKey(0))
+    b = 8
+    k = len(parsed_list)
+    ids = np.zeros((k, b), np.int32)
+    mask = np.zeros((k, b), np.float32)
+    for i, uni in enumerate(merged["path_ids_per_design"]):
+        uni = np.asarray(uni)[:b]
+        ids[i, : len(uni)] = uni
+        mask[i, : len(uni)] = 1.0
+    ids, mask = jnp.asarray(ids), jnp.asarray(mask)
+
+    single = make_train_step(model, tx, donate=False)
+    _s1, m1 = single(state, design, ids, mask)
+
+    mesh = make_2d_mesh(4, 2)  # K=4 designs sharded across dp=4
+    sharded = shard_design(mesh, design)
+    step = make_graph_sharded_train_step(model, tx, mesh, donate=False)
+    _s2, m2 = step(state, sharded, ids, mask)
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=1e-4)
+    np.testing.assert_allclose(float(m1["r2"]), float(m2["r2"]), rtol=1e-3)
