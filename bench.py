@@ -139,7 +139,9 @@ def bench_tpu(parsed, inference=True, trials=3, packing="exact"):
     log(f"pack_design: {time.time() - t0:.1f}s dtype={dtype.__name__} "
         f"packing={packing}")
     model = PathModel(out_dim=OUT_DIM, hidden_dim=HIDDEN,
-                      cnn_outdim=OUT_DIM, map_size=MAP_SIZE)
+                      cnn_outdim=OUT_DIM, map_size=MAP_SIZE,
+                      compute_dtype=(jnp.bfloat16 if dtype == jnp.bfloat16
+                                     else None))
     tx = make_optimizer(1e-3)
     # init on a TINY proxy design: the param tree depends only on the
     # feature dims / map size, not on level count or graph size, and the

@@ -18,6 +18,8 @@ a batch at once instead of per-level calls):
 
 from __future__ import annotations
 
+from typing import Any
+
 import jax.numpy as jnp
 import flax.linen as nn
 
@@ -45,6 +47,12 @@ class PathModel(nn.Module):
     gnn_reduce: str = "mailbox"  # 'mailbox' | 'segment'
     dgl_parity: bool = True  # exact DGL pull semantics (models.gnn)
     gnn_fused_vjp: bool = True  # hand-written exact-levels backward
+    # Mixed-precision compute dtype (flax style: params stay f32, inputs
+    # and params are cast for the matmuls/convs — bf16 runs the MXU at
+    # full rate vs the f32 3-pass lowering). Threaded through the CNN
+    # branch, the fusion head and the scan/grouped GNN MLPs; the
+    # exact-levels fused-VJP GNN stays f32. Output is cast back to f32.
+    compute_dtype: Any = None
 
     def setup(self):
         assert self.use_gnn or self.use_cnn, \
@@ -59,10 +67,13 @@ class PathModel(nn.Module):
                 reduce_mode=self.gnn_reduce,
                 dgl_parity=self.dgl_parity,
                 fused_vjp=self.gnn_fused_vjp,
+                mlp_dtype=self.compute_dtype,
             )
         if self.use_cnn:
-            self.cnn = (UNet(self.pooling) if self.unet
-                        else LayoutNet(self.pooling))
+            self.cnn = (UNet(self.pooling, dtype=self.compute_dtype)
+                        if self.unet
+                        else LayoutNet(self.pooling,
+                                       dtype=self.compute_dtype))
             # Linear(map^2 -> cnn_outdim) (src/train.py:71), applied via
             # the algebra fcn(mask * f) = mask @ (f[:,None] * W) + b so
             # the uint8 mask rows feed the MXU directly (no (B, map^2)
@@ -73,12 +84,14 @@ class PathModel(nn.Module):
                 (msq, self.cnn_outdim))
             self.fcn_bias = self.param(
                 "fcn_bias", nn.initializers.zeros, (self.cnn_outdim,))
-        self.mlp_alpha = MLP((self.global_dim * 2, self.global_dim))
+        self.mlp_alpha = MLP((self.global_dim * 2, self.global_dim),
+                             dtype=self.compute_dtype)
         fuse_in = ((self.out_dim if self.use_gnn else 0)
                    + (self.cnn_outdim if self.use_cnn else 0)
                    + self.global_dim)
         # mlp = MLP(mlp_dim, mlp_dim*2, nlabels), src/train.py:77
-        self.mlp_fuse = MLP((fuse_in * 2, self.nlabels))
+        self.mlp_fuse = MLP((fuse_in * 2, self.nlabels),
+                            dtype=self.compute_dtype)
 
     def __call__(self, design: DesignData, path_ids, train: bool = False):
         """Predict for a batch of path ids.
@@ -109,27 +122,36 @@ class PathModel(nn.Module):
                 feat_map = self.cnn(design.cnn_input, train=train,
                                     patches=design.cnn_patches)
             rows = design.path_masks[path_ids].astype(feat_map.dtype)
+            fcn_kernel = self.fcn_kernel
+            fcn_bias = self.fcn_bias
+            if self.compute_dtype is not None:
+                fcn_kernel = fcn_kernel.astype(self.compute_dtype)
+                fcn_bias = fcn_bias.astype(self.compute_dtype)
+                rows = rows.astype(self.compute_dtype)
+                feat_map = feat_map.astype(self.compute_dtype)
             if grouped:
                 # (K, map^2) per-design maps; per-design fcn algebra
                 # batched on the MXU: fcn(mask * f_k) = mask @ (f_k ⊙ W)
                 fmap = feat_map.reshape(feat_map.shape[0], -1)
-                fw = fmap[:, :, None] * self.fcn_kernel  # (K, map^2, D)
+                fw = fmap[:, :, None] * fcn_kernel  # (K, map^2, D)
                 parts.append(jnp.einsum("kbm,kmd->kbd", rows, fw)
-                             + self.fcn_bias)
+                             + fcn_bias)
             else:
                 if feat_map.shape[0] != 1:
                     raise ValueError(
                         "merged super-graph designs (K CNN rasters) need "
                         "grouped path_ids of shape (K, Bk); got flat ids "
                         f"with {feat_map.shape[0]} rasters")
-                fw = feat_map.reshape(-1)[:, None] * self.fcn_kernel
-                parts.append(rows @ fw + self.fcn_bias)
-        parts.append(self.mlp_alpha(levels[..., None]))
+                fw = feat_map.reshape(-1)[:, None] * fcn_kernel
+                parts.append(rows @ fw + fcn_bias)
+        parts.append(self.mlp_alpha(levels[..., None].astype(jnp.float32)))
+        if self.compute_dtype is not None:
+            parts = [p.astype(self.compute_dtype) for p in parts]
         hcat = jnp.concatenate(parts, axis=-1)
         out = self.mlp_fuse(hcat)
         if self.nlabels == 1:
             out = out.squeeze(-1)
-        return out
+        return out.astype(jnp.float32)
 
 
 def model_from_options(options):
@@ -141,7 +163,11 @@ def model_from_options(options):
             "(heads read disjoint out_dim/num_heads value slices)")
     unroll = getattr(options, "gnn_unroll", 1)
     unroll = True if unroll == 0 else unroll
+    cdtype = (jnp.bfloat16
+              if getattr(options, "compute_dtype", "float32") == "bfloat16"
+              else None)
     return PathModel(
+        compute_dtype=cdtype,
         gnn_unroll=unroll,
         use_gnn=not options.no_gnn,
         use_cnn=not options.no_cnn,

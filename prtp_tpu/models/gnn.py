@@ -32,6 +32,8 @@ attn path reads an unset ``ndata['key']`` and cannot run as shipped).
 
 from __future__ import annotations
 
+from typing import Any
+
 import jax
 import jax.numpy as jnp
 import flax.linen as nn
@@ -69,6 +71,9 @@ class _PairStep(nn.Module):
     flag_attn: bool = False
     num_heads: int = 1
     reduce_mode: str = "mailbox"
+    # flax compute dtype for the three MLPs (params stay f32; bf16 runs
+    # the MXU at full rate). Attention scores stay f32 (exp/-inf).
+    mlp_dtype: Any = None
     # DGL graph.pull does NOT update a pulled node whose mailbox is
     # empty (no in-edges of the level's etype) — not even the apply
     # function runs. With dgl_parity the update is masked by in-degree,
@@ -79,9 +84,12 @@ class _PairStep(nn.Module):
 
     def setup(self):
         # widths mirror src/model.py:48-54 (256-wide single hidden layer)
-        self.fc_cell_neigh = MLP((self.hidden_dim, self.out_dim))
-        self.fc_cell_self = MLP((self.hidden_dim, self.out_dim))
-        self.fc_net_self = MLP((self.hidden_dim, self.out_dim))
+        self.fc_cell_neigh = MLP((self.hidden_dim, self.out_dim),
+                                 dtype=self.mlp_dtype)
+        self.fc_cell_self = MLP((self.hidden_dim, self.out_dim),
+                                dtype=self.mlp_dtype)
+        self.fc_net_self = MLP((self.hidden_dim, self.out_dim),
+                               dtype=self.mlp_dtype)
         if self.flag_attn:
             # one score column per head; num_heads=1 keeps the exact
             # single-head parameter shape (kernel (D, 1))
@@ -211,6 +219,10 @@ class TimeGNN(nn.Module):
     reduce_mode: str = "mailbox"  # 'mailbox' | 'segment'
     dgl_parity: bool = True  # exact DGL pull semantics (see _PairStep)
     fused_vjp: bool = True  # hand-written backward on the exact path
+    # compute dtype for the scan/grouped paths' MLPs; the exact-levels
+    # fused-VJP path stays f32 (its hand-written backward consumes the
+    # raw f32 params).
+    mlp_dtype: Any = None
 
     @nn.compact
     def __call__(self, g, h0=None):
@@ -237,6 +249,7 @@ class TimeGNN(nn.Module):
             num_heads=self.num_heads,
             reduce_mode=self.reduce_mode,
             dgl_parity=self.dgl_parity,
+            mlp_dtype=self.mlp_dtype,
             name="pair_step",
         )
 
@@ -327,6 +340,7 @@ class TimeGNN(nn.Module):
             num_heads=self.num_heads,
             reduce_mode="mailbox",
             dgl_parity=self.dgl_parity,
+            mlp_dtype=self.mlp_dtype,
             name="pair_step",
         )
         for k in range(g.num_pairs):

@@ -24,6 +24,8 @@ was reverted.
 
 from __future__ import annotations
 
+from typing import Any
+
 import jax
 import flax.linen as nn
 
@@ -39,11 +41,13 @@ class StaticInputConv(nn.Module):
 
     Param tree (`kernel` HWIO, `bias`) and init functions match
     ``nn.Conv`` exactly, so checkpoints and init rng streams are
-    unchanged; instances are explicitly named ``Conv_0``.
+    unchanged; instances are explicitly named ``Conv_0``. ``dtype`` is
+    the flax-style compute dtype (params stay f32).
     """
 
     features: int
     kernel_size: int
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, patches=None):
@@ -53,6 +57,12 @@ class StaticInputConv(nn.Module):
                             (k, k, cin, self.features))
         bias = self.param("bias", nn.initializers.zeros_init(),
                           (self.features,))
+        if self.dtype is not None:
+            kernel = kernel.astype(self.dtype)
+            bias = bias.astype(self.dtype)
+            x = x.astype(self.dtype)
+            if patches is not None:
+                patches = patches.astype(self.dtype)
         if patches is not None:
             n, h, w, _ = x.shape
             out = patches @ kernel.reshape(k * k * cin, self.features)
@@ -67,21 +77,26 @@ class StaticInputConv(nn.Module):
 
 class LayoutNet(nn.Module):
     pooling: str = "max"
+    dtype: Any = None  # compute dtype for every conv (params stay f32)
 
     @nn.compact
     def __call__(self, x, train: bool = False, patches=None):
         # Conv2d(2,32,9,1,4) -> ReLU -> pool/2
-        x = StaticInputConv(32, 9, name="Conv_0")(x, patches)
+        x = StaticInputConv(32, 9, name="Conv_0", dtype=self.dtype)(
+            x, patches)
         x = jax.nn.relu(x)
         x = _pool(x, self.pooling)
         # Conv2d(32,64,7,1,3) -> ReLU -> pool/2
-        x = nn.Conv(64, (7, 7), padding="SAME", name="Conv_1")(x)
+        x = nn.Conv(64, (7, 7), padding="SAME", name="Conv_1",
+                    dtype=self.dtype)(x)
         x = jax.nn.relu(x)
         x = _pool(x, self.pooling)
         # Conv2d(64,32,9,1,4) -> ReLU
-        x = nn.Conv(32, (9, 9), padding="SAME", name="Conv_2")(x)
+        x = nn.Conv(32, (9, 9), padding="SAME", name="Conv_2",
+                    dtype=self.dtype)(x)
         x = jax.nn.relu(x)
         # Conv2d(32,1,7,1,3) -> LeakyReLU(0.1)
-        x = nn.Conv(1, (7, 7), padding="SAME", name="Conv_3")(x)
+        x = nn.Conv(1, (7, 7), padding="SAME", name="Conv_3",
+                    dtype=self.dtype)(x)
         x = jax.nn.leaky_relu(x, negative_slope=0.1)
         return x

@@ -7,7 +7,7 @@ ReLU) between hidden layers, plus optional dropout / batchnorm.
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Any, Sequence
 
 import jax
 import flax.linen as nn
@@ -18,18 +18,23 @@ class MLP(nn.Module):
 
     The input size is inferred (flax). Activation is applied between
     layers but not after the last, matching src/model.py:14-20.
+
+    ``dtype`` is the flax COMPUTE dtype: params stay float32 and are
+    cast (with the inputs) to ``dtype`` for the matmuls — bfloat16 here
+    runs the MXU at full rate instead of the f32 3-pass lowering.
     """
 
     features: Sequence[int]
     negative_slope: float = 0.0
     dropout: float = 0.0
     batchnorm: bool = False
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
         n = len(self.features)
         for i, f in enumerate(self.features):
-            x = nn.Dense(f, name=f"fc{i}")(x)
+            x = nn.Dense(f, name=f"fc{i}", dtype=self.dtype)(x)
             if i < n - 1:
                 x = jax.nn.leaky_relu(x, negative_slope=self.negative_slope)
                 if self.dropout > 0:

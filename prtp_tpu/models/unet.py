@@ -8,6 +8,8 @@ so the output map is input/2 per side (256^2 input -> 128^2 map).
 
 from __future__ import annotations
 
+from typing import Any
+
 import jax
 import jax.numpy as jnp
 import flax.linen as nn
@@ -24,16 +26,20 @@ class DoubleConv(nn.Module):
 
     out_channels: int
     mid_channels: int | None = None
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         mid = self.mid_channels or self.out_channels
-        x = nn.Conv(mid, (3, 3), padding="SAME", use_bias=False)(x)
-        x = nn.BatchNorm(use_running_average=not train)(x)
+        x = nn.Conv(mid, (3, 3), padding="SAME", use_bias=False,
+                    dtype=self.dtype)(x)
+        x = nn.BatchNorm(use_running_average=not train,
+                         dtype=self.dtype)(x)
         x = jax.nn.relu(x)
         x = nn.Conv(self.out_channels, (3, 3), padding="SAME",
-                    use_bias=False)(x)
-        x = nn.BatchNorm(use_running_average=not train)(x)
+                    use_bias=False, dtype=self.dtype)(x)
+        x = nn.BatchNorm(use_running_average=not train,
+                         dtype=self.dtype)(x)
         x = jax.nn.relu(x)
         return x
 
@@ -43,11 +49,12 @@ class Down(nn.Module):
 
     out_channels: int
     pooling: str = "max"
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        return DoubleConv(self.out_channels)(_pool(x, self.pooling),
-                                             train=train)
+        return DoubleConv(self.out_channels, dtype=self.dtype)(
+            _pool(x, self.pooling), train=train)
 
 
 class Up(nn.Module):
@@ -56,40 +63,46 @@ class Up(nn.Module):
 
     out_channels: int
     up_channels: int  # in_channels // 2 of the reference ConvTranspose
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x1, x2, train: bool = False):
-        x1 = nn.ConvTranspose(self.up_channels, (2, 2), strides=(2, 2))(x1)
+        x1 = nn.ConvTranspose(self.up_channels, (2, 2), strides=(2, 2),
+                              dtype=self.dtype)(x1)
         dh = x2.shape[1] - x1.shape[1]
         dw = x2.shape[2] - x1.shape[2]
         if dh or dw:
             x1 = jnp.pad(x1, ((0, 0), (dh // 2, dh - dh // 2),
                               (dw // 2, dw - dw // 2), (0, 0)))
-        x = jnp.concatenate([x2, x1], axis=-1)
-        return DoubleConv(self.out_channels)(x, train=train)
+        x = jnp.concatenate([x2.astype(x1.dtype), x1], axis=-1)
+        return DoubleConv(self.out_channels, dtype=self.dtype)(
+            x, train=train)
 
 
 class OutConv(nn.Module):
     out_channels: int
     pooling: str = "max"
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = nn.Conv(self.out_channels, (1, 1))(x)
+        x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype)(x)
         x = _pool(x, self.pooling)
         return jax.nn.relu(x)
 
 
 class UNet(nn.Module):
     pooling: str = "max"
+    dtype: Any = None  # compute dtype for every conv (params stay f32)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x1 = DoubleConv(16)(x, train=train)
-        x2 = Down(32, self.pooling)(x1, train=train)
-        x3 = Down(64, self.pooling)(x2, train=train)
-        x4 = Down(128, self.pooling)(x3, train=train)
-        x = Up(64, 64)(x4, x3, train=train)
-        x = Up(32, 32)(x, x2, train=train)
-        x = Up(16, 16)(x, x1, train=train)
-        return OutConv(1, self.pooling)(x, train=train)
+        d = self.dtype
+        x1 = DoubleConv(16, dtype=d)(x, train=train)
+        x2 = Down(32, self.pooling, dtype=d)(x1, train=train)
+        x3 = Down(64, self.pooling, dtype=d)(x2, train=train)
+        x4 = Down(128, self.pooling, dtype=d)(x3, train=train)
+        x = Up(64, 64, dtype=d)(x4, x3, train=train)
+        x = Up(32, 32, dtype=d)(x, x2, train=train)
+        x = Up(16, 16, dtype=d)(x, x1, train=train)
+        return OutConv(1, self.pooling, dtype=d)(x, train=train)

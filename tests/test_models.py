@@ -179,3 +179,38 @@ def test_pathmodel_scan_groups_matches_default():
     out2 = model.apply(v, d_group, path_ids)
     np.testing.assert_allclose(np.asarray(out1), np.asarray(out2),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_pathmodel_bf16_compute_close_to_f32():
+    """compute_dtype=bfloat16 (mixed precision: f32 params, bf16
+    matmul/conv compute) must track the f32 forward within bf16
+    tolerance, return f32 outputs, and keep params f32 under a train
+    step."""
+    from prtp_tpu.trainer import init_state, make_optimizer, make_train_step, pad_batch
+    rng = np.random.default_rng(33)
+    parsed = _tiny_parsed_design(rng)
+    design = pack_design(parsed, map_size=16, align=8)
+    kw = dict(out_dim=16, hidden_dim=32, cnn_outdim=8, map_size=16,
+              global_dim=8)
+    model32 = PathModel(**kw)
+    model16 = PathModel(compute_dtype=jnp.bfloat16, **kw)
+    path_ids = jnp.arange(design.num_paths, dtype=jnp.int32)
+    v = model32.init(jax.random.PRNGKey(0), design, path_ids)
+    out32 = np.asarray(model32.apply(v, design, path_ids))
+    o16 = model16.apply(v, design, path_ids)
+    assert o16.dtype == jnp.float32  # loss/metrics stay f32
+    out16 = np.asarray(o16)
+    scale = max(1.0, float(np.abs(out32).max()))
+    assert np.max(np.abs(out32 - out16)) / scale < 0.03, \
+        "bf16 compute diverges from f32 beyond bf16 tolerance"
+
+    tx = make_optimizer(1e-3)
+    state = init_state(model16, tx, design, jax.random.PRNGKey(0))
+    for leaf in jax.tree_util.tree_leaves(state.params):
+        assert leaf.dtype == jnp.float32  # master weights stay f32
+    ids, mask = pad_batch(np.arange(design.num_paths), 8)
+    step = make_train_step(model16, tx, donate=False)
+    state2, mets = step(state, design, ids, mask)
+    assert np.isfinite(float(mets["loss"]))
+    for leaf in jax.tree_util.tree_leaves(state2.params):
+        assert leaf.dtype == jnp.float32
