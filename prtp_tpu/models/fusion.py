@@ -50,8 +50,9 @@ class PathModel(nn.Module):
     # Mixed-precision compute dtype (flax style: params stay f32, inputs
     # and params are cast for the matmuls/convs — bf16 runs the MXU at
     # full rate vs the f32 3-pass lowering). Threaded through the CNN
-    # branch, the fusion head and the scan/grouped GNN MLPs; the
-    # exact-levels fused-VJP GNN stays f32. Output is cast back to f32.
+    # branch, the fusion head, the scan/grouped GNN MLPs, and the
+    # exact-path fused-VJP GNN's matmuls (bf16 operands, f32
+    # accumulation). Output is cast back to f32.
     compute_dtype: Any = None
 
     def setup(self):

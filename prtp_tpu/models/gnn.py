@@ -219,9 +219,9 @@ class TimeGNN(nn.Module):
     reduce_mode: str = "mailbox"  # 'mailbox' | 'segment'
     dgl_parity: bool = True  # exact DGL pull semantics (see _PairStep)
     fused_vjp: bool = True  # hand-written backward on the exact path
-    # compute dtype for the scan/grouped paths' MLPs; the exact-levels
-    # fused-VJP path stays f32 (its hand-written backward consumes the
-    # raw f32 params).
+    # compute dtype for the MLP matmuls on every path: flax Dense dtype
+    # on the scan/grouped paths, and bf16-operand/f32-accumulate matmuls
+    # inside the exact path's fused VJP (ops/fused_gnn._mm).
     mlp_dtype: Any = None
 
     @nn.compact
@@ -319,6 +319,10 @@ class TimeGNN(nn.Module):
                       ("fc_cell_self", "fc_cell_neigh", "fc_net_self")}
             config = (num_rows, self.dgl_parity,
                       tuple(g.cell_off), tuple(g.net_off))
+            if self.mlp_dtype is not None:
+                # bf16 MXU matmuls with f32 accumulation inside the
+                # fused VJP (ops/fused_gnn._mm); carries/reduces stay f32
+                config = config + (jnp.dtype(self.mlp_dtype).name,)
             blocks = tuple(
                 dict(cell_feat=g.cell_feat_lvl[k],
                      net_feat=g.net_feat_lvl[k],

@@ -32,24 +32,35 @@ import jax
 import jax.numpy as jnp
 
 
-def _mlp(p, x):
+def _mm(x, w, mm_dtype):
+    """Matmul in ``mm_dtype`` (bf16: full-rate MXU) with f32
+    accumulation/output; plain f32 matmul when mm_dtype is None."""
+    if mm_dtype is None:
+        return x @ w
+    return jnp.matmul(x.astype(mm_dtype), w.astype(mm_dtype),
+                      preferred_element_type=jnp.float32)
+
+
+def _mlp(p, x, mm_dtype=None):
     """MLP forward matching models.mlp.MLP((hidden, out)):
     Dense -> LeakyReLU(0) == ReLU -> Dense."""
-    a = x @ p["fc0"]["kernel"] + p["fc0"]["bias"]
-    return jax.nn.relu(a) @ p["fc1"]["kernel"] + p["fc1"]["bias"]
+    a = _mm(x, p["fc0"]["kernel"], mm_dtype) + p["fc0"]["bias"]
+    return (_mm(jax.nn.relu(a), p["fc1"]["kernel"], mm_dtype)
+            + p["fc1"]["bias"])
 
 
-def _mlp_grads(p, x, d_out):
+def _mlp_grads(p, x, d_out, mm_dtype=None):
     """Param grads + input cotangent for _mlp; recomputes the hidden."""
-    a = x @ p["fc0"]["kernel"] + p["fc0"]["bias"]
+    a = _mm(x, p["fc0"]["kernel"], mm_dtype) + p["fc0"]["bias"]
     r = jax.nn.relu(a)
-    d_r = d_out @ p["fc1"]["kernel"].T
+    d_r = _mm(d_out, p["fc1"]["kernel"].T, mm_dtype)
     d_a = d_r * (a > 0)
     dp = {
-        "fc0": {"kernel": x.T @ d_a, "bias": d_a.sum(0)},
-        "fc1": {"kernel": r.T @ d_out, "bias": d_out.sum(0)},
+        "fc0": {"kernel": _mm(x.T, d_a, mm_dtype), "bias": d_a.sum(0)},
+        "fc1": {"kernel": _mm(r.T, d_out, mm_dtype),
+                "bias": d_out.sum(0)},
     }
-    d_x = d_a @ p["fc0"]["kernel"].T
+    d_x = _mm(d_a, p["fc0"]["kernel"].T, mm_dtype)
     return dp, d_x
 
 
@@ -71,6 +82,17 @@ def _mean_sum(m, valid):
     return s / cnt, cnt
 
 
+def _unpack_config(config):
+    """(num_rows, dgl_parity, cell_off, net_off[, mm_dtype_str]) —
+    the optional 5th element ('bfloat16') selects bf16 MXU matmuls with
+    f32 accumulation for every _mlp/_mlp_grads product (everything
+    else — softmax, means, scatters, the h/dh carries — stays f32)."""
+    num_rows, dgl_parity, cell_off, net_off = config[:4]
+    mm = jnp.bfloat16 if len(config) > 4 and config[4] == "bfloat16" \
+        else None
+    return num_rows, dgl_parity, cell_off, net_off, mm
+
+
 def _forward_impl(config, params, h0, blocks):
     """Merged-gather forward: ONE global (HBM) row gather per pair —
     ``h[gather_rows]`` serves the cell mailbox AND the net half's
@@ -79,7 +101,7 @@ def _forward_impl(config, params, h0, blocks):
     sources — the common case, the driver was just written by this
     pair's cell half — never touch HBM again). Pair 0 skips the gather
     entirely: PIs have no in-edges, its mailbox is all-dummy."""
-    num_rows, dgl_parity, cell_off, net_off = config
+    num_rows, dgl_parity, cell_off, net_off, mm = _unpack_config(config)
     h = h0
     d = h.shape[1]
     for k, b in enumerate(blocks):
@@ -91,11 +113,11 @@ def _forward_impl(config, params, h0, blocks):
             gat = None
         # ---- cell half (even level 2k) ----
         valid = (b["cell_mail"] != num_rows)[..., None]
-        pre = _mlp(params["fc_cell_self"], b["cell_feat"])
+        pre = _mlp(params["fc_cell_self"], b["cell_feat"], mm)
         if k > 0:  # level 0 drops the neighbor term
             m_c = gat[: pn_c * md_c].reshape(pn_c, md_c, d)
             neigh, _w = _softmax_sum(m_c, valid)
-            pre = pre + _mlp(params["fc_cell_neigh"], neigh)
+            pre = pre + _mlp(params["fc_cell_neigh"], neigh, mm)
         new = jax.nn.relu(pre)
         if dgl_parity:
             has = valid.any(axis=1)
@@ -112,7 +134,7 @@ def _forward_impl(config, params, h0, blocks):
             [new, prior, jnp.zeros((1, d), h.dtype)], axis=0)
         m_n = buf[b["net_local_idx"]]  # (pn_n, md_n, D) local gather
         neigh_n, _cnt = _mean_sum(m_n, validn)
-        pre_n = _mlp(params["fc_net_self"], b["net_feat"]) + neigh_n
+        pre_n = _mlp(params["fc_net_self"], b["net_feat"], mm) + neigh_n
         new_n = jax.nn.relu(pre_n)
         if dgl_parity:
             hasn = validn.any(axis=1)
@@ -141,7 +163,7 @@ def _fwd(config, params, h0, blocks):
 
 
 def _bwd(config, res, g):
-    num_rows, dgl_parity, cell_off, net_off = config
+    num_rows, dgl_parity, cell_off, net_off, mm = _unpack_config(config)
     params, h0, blocks, hf = res
     d = hf.shape[1]
     dh = g
@@ -168,7 +190,7 @@ def _bwd(config, res, g):
             d_pre_n = g_n * posn
             d_old_n = jnp.zeros_like(g_n)
         dp_net, _dx = _mlp_grads(params["fc_net_self"], b["net_feat"],
-                                 d_pre_n)
+                                 d_pre_n, mm)
         acc(dparams, "fc_net_self", dp_net)
         cnt = jnp.maximum(validn.sum(axis=1).astype(g_n.dtype), 1.0)
         d_mail_n = jnp.where(validn, (d_pre_n / cnt)[:, None, :], 0.0)
@@ -193,12 +215,13 @@ def _bwd(config, res, g):
             d_pre_c = g_c * posc
             d_old_c = jnp.zeros_like(g_c)
         dp_self, _dx = _mlp_grads(params["fc_cell_self"], b["cell_feat"],
-                                  d_pre_c)
+                                  d_pre_c, mm)
         acc(dparams, "fc_cell_self", dp_self)
         if k > 0:
             m = hf[b["cell_mail"]]
             f, w = _softmax_sum(m, validc)
-            dp_neigh, d_f = _mlp_grads(params["fc_cell_neigh"], f, d_pre_c)
+            dp_neigh, d_f = _mlp_grads(params["fc_cell_neigh"], f,
+                                       d_pre_c, mm)
             acc(dparams, "fc_cell_neigh", dp_neigh)
             # d f/d m_j = w_j (1 + m_j - f) elementwise per channel
             d_mail_c = d_f[:, None, :] * w * (1.0 + m - f[:, None, :])
