@@ -436,6 +436,7 @@ def _child_point(point):
         out.update(
             tpu_sps=tpu_sps, num_paths=int(num_paths), batch=int(batch),
             inf_dps=inf_dps, xla_flops=xla_flops, packing=packing,
+            dtype=os.environ.get("BENCH_DTYPE", "float32"),
             device_kind=jax.devices()[0].device_kind,
             nodes=int(parsed["num_nodes"]),
             edges=int(len(parsed["cell_edges"][0])
@@ -456,6 +457,18 @@ def _child_point(point):
                    nodes=int(parsed["num_nodes"]),
                    edges=int(len(parsed["cell_edges"][0])
                              + len(parsed["net_edges"][0])))
+    elif point == "probe":
+        # cheap tunnel-health probe: device enumeration + one tiny op.
+        # The parent records the outcome in the final JSON so a round of
+        # null points is attributable (tunnel outage vs framework bug).
+        import jax
+        import jax.numpy as jnp
+        t0 = time.time()
+        kind = jax.devices()[0].device_kind
+        one = jnp.ones(())
+        _ = float(one + one)
+        out.update(ok=True, device_kind=kind,
+                   rtt_s=round(time.time() - t0, 1))
     else:
         raise SystemExit(f"unknown bench point {point!r}")
     print(json.dumps(out))
@@ -499,6 +512,15 @@ def main():
     def remaining():
         return budget - (time.time() - T_START)
 
+    # tunnel health first: a 2-minute cap on "enumerate the device and
+    # run one tiny op". Failure here means every TPU point below is
+    # doomed — record that fact in the artifact instead of burning the
+    # budget discovering it three times.
+    probe = _run_point("probe", timeout=min(120.0, remaining()))
+    tunnel = (probe if probe
+              else {"ok": False, "error": "device probe failed/timed out"})
+    log(f"tunnel probe: {tunnel}")
+
     # The headline point MUST land: exact-levels packing, retried on a
     # fresh client (a tunnel fault does not survive the process), then a
     # grouped-scan fallback — in this container's degraded-tunnel
@@ -521,8 +543,9 @@ def main():
     if head is None:
         print(json.dumps({"metric": "train_steps_per_sec", "value": None,
                           "unit": "steps/s", "vs_baseline": None,
-                          "detail": {"error": "headline point failed twice "
-                                     "(TPU tunnel down?)"}}))
+                          "detail": {"error": "headline point failed "
+                                     "(exact + retry + grouped fallback)",
+                                     "tunnel_probe": tunnel}}))
         return
     tpu_sps, batch = head["tpu_sps"], head["batch"]
     num_paths, inf_dps = head["num_paths"], head["inf_dps"]
@@ -586,6 +609,8 @@ def main():
             "paths": int(num_paths),
             "batch": int(batch),
             "packing": head.get("packing", "exact"),
+            "compute_dtype": head.get("dtype", "float32"),
+            "tunnel_probe": tunnel,
             "inference_designs_per_sec": round(inf_dps, 2),
             "baseline": "torch-cpu reference-style levelized step "
                         f"({CPU_STEPS} timed steps, warm-up discarded)",
