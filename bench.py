@@ -253,12 +253,16 @@ def bench_merged(k=MERGED_K, nodes=MERGED_NODES, levels=MERGED_LEVELS,
         for i in range(k)
     ]
     merged = merge_parsed_designs(parsed_list)
+    dtype = (jnp.bfloat16 if os.environ.get("BENCH_DTYPE") == "bfloat16"
+             else jnp.float32)
     design = pack_design(merged, map_size=MAP_SIZE,
                          exact_levels=packing == "exact",
                          scan_groups=SCAN_GROUPS if packing == "grouped"
-                         else 1)
+                         else 1, compute_dtype=dtype)
     model = PathModel(out_dim=OUT_DIM, hidden_dim=HIDDEN,
-                      cnn_outdim=OUT_DIM, map_size=MAP_SIZE)
+                      cnn_outdim=OUT_DIM, map_size=MAP_SIZE,
+                      compute_dtype=(jnp.bfloat16 if dtype == jnp.bfloat16
+                                     else None))
     tx = make_optimizer(1e-3)
     state = init_state(model, tx, design, jax.random.PRNGKey(0))
     inner = TPU_STEPS
@@ -516,7 +520,7 @@ def main():
     # run one tiny op". Failure here means every TPU point below is
     # doomed — record that fact in the artifact instead of burning the
     # budget discovering it three times.
-    probe = _run_point("probe", timeout=min(120.0, remaining()))
+    probe = _run_point("probe", timeout=max(30.0, min(120.0, remaining())))
     tunnel = (probe if probe
               else {"ok": False, "error": "device probe failed/timed out"})
     log(f"tunnel probe: {tunnel}")

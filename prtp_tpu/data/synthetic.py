@@ -488,8 +488,10 @@ def main(argv=None):
     p = argparse.ArgumentParser(description="generate synthetic raw designs")
     p.add_argument("--out", required=True)
     p.add_argument("--designs", nargs="+", default=["syn_a", "syn_b", "syn_c"])
-    p.add_argument("--num_paths", type=int, default=6)
-    p.add_argument("--depth", type=int, default=4)
+    p.add_argument("--num_paths", type=int, default=None,
+                   help="default 6 (small corpus) / 2048 (--big)")
+    p.add_argument("--depth", type=int, default=None,
+                   help="default 4 (small corpus) / 8 stages (--big)")
     p.add_argument("--cnn_channels", type=int, default=2)
     p.add_argument("--cnn_hw", type=int, default=512)
     p.add_argument("--big", action="store_true",
@@ -502,12 +504,14 @@ def main(argv=None):
         write_libs(args.out)
         generate_big_design(
             os.path.join(args.out, args.designs[0]),
-            num_paths=args.num_paths if args.num_paths != 6 else 2048,
-            stages=args.depth if args.depth != 4 else 8,
+            num_paths=args.num_paths if args.num_paths is not None else 2048,
+            stages=args.depth if args.depth is not None else 8,
             cnn_channels=args.cnn_channels, cnn_hw=args.cnn_hw)
         print(f"wrote big stress design to {args.out}/{args.designs[0]}")
         return
-    generate_corpus(args.out, args.designs, args.num_paths, args.depth,
+    generate_corpus(args.out, args.designs,
+                    args.num_paths if args.num_paths is not None else 6,
+                    args.depth if args.depth is not None else 4,
                     args.cnn_channels, args.cnn_hw)
     print(f"wrote synthetic corpus to {args.out}")
 

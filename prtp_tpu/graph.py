@@ -32,7 +32,10 @@ contribute to the loss.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
+import jax
 import jax.numpy as jnp
 from flax import struct
 
@@ -126,19 +129,21 @@ def make_cnn_patches(x_nhwc, k: int = 9):
     DEFAULT TPU lowering uses for f32 convs — so the consuming matmul
     needs no per-step convert of the table (0.77 ms/step when f32).
     """
-    import jax
+    return _cnn_patches_impl(x_nhwc, k)
 
-    @jax.jit
-    def _impl(x):
-        n, h, w, c = x.shape
-        pad = k // 2
-        xp = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
-        cols = [xp[:, dy:dy + h, dx:dx + w, :]
-                for dy in range(k) for dx in range(k)]
-        pat = jnp.stack(cols, axis=3)           # (K, H, W, k*k, C)
-        return pat.reshape(n, h * w, k * k * c).astype(jnp.bfloat16)
 
-    return _impl(x_nhwc)
+@functools.partial(jax.jit, static_argnums=1)
+def _cnn_patches_impl(x, k):
+    # module-level jit: one compile per (shape, k), shared across all
+    # designs packed in the process (a per-call closure would re-trace
+    # the identical program once per design)
+    n, h, w, c = x.shape
+    pad = k // 2
+    xp = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+    cols = [xp[:, dy:dy + h, dx:dx + w, :]
+            for dy in range(k) for dx in range(k)]
+    pat = jnp.stack(cols, axis=3)           # (K, H, W, k*k, C)
+    return pat.reshape(n, h * w, k * k * c).astype(jnp.bfloat16)
 
 
 def bucket_shape(parsed_list, map_size=128, align=128):

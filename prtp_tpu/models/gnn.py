@@ -306,9 +306,14 @@ class TimeGNN(nn.Module):
         assert self.reduce_mode == "mailbox", \
             "exact-levels mode supports the mailbox reduce"
         num_rows = g.num_rows
+        # The node-state carry (and with it the backward's dh cotangent
+        # accumulation across every level pair) stays f32 even when the
+        # packed feature tables are bf16 — mixed precision here means
+        # bf16 matmul OPERANDS with f32 accumulation (ops/fused_gnn._mm),
+        # never bf16 carries.
         h = (h0 if h0 is not None
              else jnp.zeros((num_rows + 1, self.out_dim),
-                            dtype=g.cell_feat_lvl[0].dtype))
+                            dtype=jnp.float32))
         if (self.fused_vjp and not self.flag_attn
                 and len(g.merged_pos) == g.num_pairs
                 and len(g.gather_rows) == g.num_pairs

@@ -34,7 +34,19 @@ def enable_compile_cache(path: str | None = None) -> None:
     if not path:
         return
     import jax
-    if jax.default_backend() == "cpu":
+    # Decide WITHOUT forcing backend init: jax.default_backend() would
+    # block a CPU-only run (e.g. `train --preprocess`) for minutes when
+    # the tunnel-backed TPU plugin is registered but stalled. The
+    # intended platform is readable init-free from jax.config (set by
+    # conftest/forced-cpu children) or JAX_PLATFORMS (set by the
+    # plugin's sitecustomize); only when both are unset do we fall back
+    # to asking the backend.
+    plats = (getattr(jax.config, "jax_platforms", None)
+             or os.environ.get("JAX_PLATFORMS", ""))
+    if plats:
+        if plats.split(",")[0].strip().lower() == "cpu":
+            return
+    elif jax.default_backend() == "cpu":
         return
     try:
         jax.config.update("jax_compilation_cache_dir", path)

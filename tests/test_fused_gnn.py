@@ -105,27 +105,37 @@ def test_fused_h0_cotangent():
 
 
 def test_fused_bf16_compute_path():
-    """--compute_dtype bfloat16 through the fused exact path: forward
-    matches the f32 fused forward loosely, grads are finite bf16."""
+    """--compute_dtype bfloat16 through the fused exact path (bf16-packed
+    feature tables AND mlp_dtype=bf16, the train-CLI combination): the
+    node-state carry stays f32, the forward matches the all-f32 fused
+    forward at bf16 tolerance, and param grads track the f32 grads —
+    pinning f32 ACCUMULATION (bf16 carries/cotangents would drift far
+    past these tolerances over 3 level pairs of compounding)."""
     import jax.numpy as jnp
     rng = np.random.default_rng(11)
     parsed = _design(rng, level_sizes=(5, 8, 6, 9, 4, 7))
     d32 = pack_design(parsed, map_size=16, exact_levels=True)
     d16 = pack_design(parsed, map_size=16, exact_levels=True,
                       compute_dtype=jnp.bfloat16)
-    model = TimeGNN(out_dim=16, hidden_dim=32, fused_vjp=True)
-    v = model.init(jax.random.PRNGKey(0), d32.graph)
-    h32 = np.asarray(model.apply(v, d32.graph), np.float32)
-    h16 = np.asarray(model.apply(v, d16.graph), np.float32)
+    model32 = TimeGNN(out_dim=16, hidden_dim=32, fused_vjp=True)
+    model16 = TimeGNN(out_dim=16, hidden_dim=32, fused_vjp=True,
+                      mlp_dtype=jnp.bfloat16)
+    v = model32.init(jax.random.PRNGKey(0), d32.graph)
+    h32 = np.asarray(model32.apply(v, d32.graph), np.float32)
+    h16 = np.asarray(model16.apply(v, d16.graph), np.float32)
     assert h16.dtype == np.float32 and np.all(np.isfinite(h16))
     np.testing.assert_allclose(h16, h32, rtol=0.1, atol=0.15)
 
     ep = d16.path_endpoint
 
-    def loss(p):
-        return (model.apply(p, d16.graph)[ep] ** 2).sum()
+    def loss(p, model, design):
+        return (model.apply(p, design.graph)[ep] ** 2).mean()
 
-    grads = jax.grad(loss)(v)
-    total = sum(float(np.abs(np.asarray(x, np.float32)).sum())
-                for x in jax.tree_util.tree_leaves(grads))
-    assert np.isfinite(total) and total > 0
+    g32 = jax.grad(lambda p: loss(p, model32, d32))(v)
+    g16 = jax.grad(lambda p: loss(p, model16, d16))(v)
+    for a, b in zip(jax.tree_util.tree_leaves(g32),
+                    jax.tree_util.tree_leaves(g16)):
+        a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
+        assert np.all(np.isfinite(b))
+        scale = max(float(np.abs(a).max()), 1e-3)
+        np.testing.assert_allclose(b, a, rtol=0.15, atol=0.05 * scale)
