@@ -206,6 +206,30 @@ def _level_layout(levels, num_nodes, align, pad_to):
         node_row, node_level
 
 
+def _sorted_level_tables(e_src, slot, pn, md, num_rows):
+    """dst-sorted edge tables for ONE level — the shared kernel of all
+    three packers (padded scan / grouped scan / exact unroll).
+
+    Sorts the level's edges by destination slot, fills the dense
+    mailbox (``pos`` = index within each destination's segment), and
+    builds the transpose tables the mailbox backward consumes (flat
+    mailbox positions + source rows, sorted by source row ascending).
+
+    Returns ``(e_src, slot, mail, rev_pos, rev_rows)``: e_src/slot
+    int32 sorted by slot; mail (pn, md) int32 with ``num_rows`` as the
+    gather dummy; rev_pos/rev_rows (E,) int32.
+    """
+    order = np.argsort(slot, kind="stable")
+    e_src = np.asarray(e_src)[order].astype(np.int32)
+    slot = np.asarray(slot)[order].astype(np.int32)
+    mail = np.full((pn, md), num_rows, np.int32)
+    pos = np.arange(len(slot)) - np.searchsorted(slot, slot)
+    mail[slot, pos] = e_src
+    flat = (slot.astype(np.int64) * md + pos).astype(np.int32)
+    order2 = np.argsort(e_src, kind="stable")
+    return e_src, slot, mail, flat[order2], e_src[order2]
+
+
 def pack_leveled_graph(parsed, align=128, pad_to=None,
                        compute_dtype=jnp.float32):
     """Build the LeveledGraph (+ node_row permutation) from a parsed
@@ -254,25 +278,15 @@ def pack_leveled_graph(parsed, align=128, pad_to=None,
         rev_rows = np.full((n_pairs, pe), num_rows, dtype=np.int32)
         for li, sel in groups.items():
             pair = li // 2
-            e_src = node_row[src[sel]]
             base = (pair * stride + (0 if parity == 0 else pn_c))
-            slot = node_row[dst[sel]] - base
-            # sort by destination slot: contiguous segments for fused
-            # kernels + scatter locality
-            order = np.argsort(slot, kind="stable")
-            e_src = e_src[order].astype(np.int32)
-            slot = slot[order].astype(np.int32)
+            e_src, slot, mail_k, rp, rr = _sorted_level_tables(
+                node_row[src[sel]], node_row[dst[sel]] - base,
+                pn, md, num_rows)
             srcs[pair, : len(e_src)] = e_src
             dsts[pair, : len(slot)] = slot
-            # dense mailbox: position within the (sorted) segment
-            pos = np.arange(len(slot)) - np.searchsorted(slot, slot)
-            mail[pair, slot, pos] = e_src
-            # transpose tables for the mailbox backward: real-edge flat
-            # positions sorted by source row (ascending)
-            flat = (slot.astype(np.int64) * md + pos).astype(np.int32)
-            order2 = np.argsort(e_src, kind="stable")
-            rev_pos[pair, : len(flat)] = flat[order2]
-            rev_rows[pair, : len(flat)] = e_src[order2]
+            mail[pair] = mail_k
+            rev_pos[pair, : len(rp)] = rp
+            rev_rows[pair, : len(rr)] = rr
         return srcs, dsts, mail, rev_pos, rev_rows
 
     (cell_src, cell_dst, cell_mail,
@@ -453,20 +467,15 @@ def pack_leveled_graph_grouped(parsed, num_groups=4, align=128,
             rev_pos = np.zeros((pg, pe), np.int32)
             rev_rows = np.full((pg, pe), num_rows, np.int32)
             for k, sel in sel_by_pair.items():
-                e_src = node_row[src[sel]]
-                slot = node_row[dst[sel]] - offs[k]
-                order = np.argsort(slot, kind="stable")
-                e_src = e_src[order].astype(np.int32)
-                slot = slot[order].astype(np.int32)
+                e_src, slot, mail_k, rp, rr = _sorted_level_tables(
+                    node_row[src[sel]], node_row[dst[sel]] - offs[k],
+                    pn, md, num_rows)
                 i = k - k0
                 srcs[i, : len(e_src)] = e_src
                 dsts[i, : len(slot)] = slot
-                pos = np.arange(len(slot)) - np.searchsorted(slot, slot)
-                mail[i, slot, pos] = e_src
-                flat = (slot.astype(np.int64) * md + pos).astype(np.int32)
-                order2 = np.argsort(e_src, kind="stable")
-                rev_pos[i, : len(flat)] = flat[order2]
-                rev_rows[i, : len(flat)] = e_src[order2]
+                mail[i] = mail_k
+                rev_pos[i, : len(rp)] = rp
+                rev_rows[i, : len(rr)] = rr
             return srcs, dsts, mail, rev_pos, rev_rows
 
         (c_src, c_dst, c_mail, c_rpos, c_rrows) = edge_tables(
@@ -607,22 +616,14 @@ def pack_leveled_graph_exact(parsed, compute_dtype=jnp.float32):
         for k in range(n_pairs):
             li = 2 * k + parity
             sel = lev == li
-            e_src = node_row[src[sel]].astype(np.int32)
-            slot = (node_row[dst[sel]] - offsets[k]).astype(np.int32)
-            order = np.argsort(slot, kind="stable")
-            e_src, slot = e_src[order], slot[order]
+            slot0 = node_row[dst[sel]] - offsets[k]
             pn = blocks[k].shape[0]
-            md = 1
-            if len(slot):
-                md = max(1, int(np.bincount(slot).max()))
-            mail = np.full((pn, md), num_rows, np.int32)
-            pos = np.arange(len(slot)) - np.searchsorted(slot, slot)
-            mail[slot, pos] = e_src
-            flat = (slot.astype(np.int64) * md + pos).astype(np.int32)
-            order2 = np.argsort(e_src, kind="stable")
+            md = max(1, int(np.bincount(slot0).max())) if len(slot0) else 1
+            _src, _slot, mail, rp, rr = _sorted_level_tables(
+                node_row[src[sel]], slot0, pn, md, num_rows)
             mails.append(mail)
-            rposs.append(flat[order2])
-            rrows.append(e_src[order2].astype(np.int32))
+            rposs.append(rp)
+            rrows.append(rr)
         return mails, rposs, rrows
 
     cm, crp, crr = per_level_tables(0, parsed["cell_edges"])

@@ -208,3 +208,33 @@ def test_choose_pair_groups_partition():
     assert cost(bounds) < cost(one)
     # degenerate cases
     assert choose_pair_groups([5], [4], 4) == [(0, 1)]
+
+
+def test_sorted_level_tables_invariants():
+    """Unit test of the shared per-level packer kernel: dst-sorted
+    edges, dense mailbox fill, and transpose tables that exactly invert
+    the mailbox placement."""
+    from prtp_tpu.graph import _sorted_level_tables
+    rng = np.random.default_rng(0)
+    pn, md, num_rows, e = 7, 3, 100, 13
+    slot0 = np.repeat(np.arange(pn), rng.multinomial(e, np.ones(pn) / pn))
+    rng.shuffle(slot0)
+    src0 = rng.integers(0, 50, size=len(slot0))
+    md = max(1, int(np.bincount(slot0, minlength=pn).max()))
+    e_src, slot, mail, rev_pos, rev_rows = _sorted_level_tables(
+        src0, slot0, pn, md, num_rows)
+    # sorted by destination slot; same multiset of (src, slot) pairs
+    assert np.all(np.diff(slot) >= 0)
+    assert sorted(zip(src0, slot0)) == sorted(zip(e_src, slot))
+    # mailbox holds each slot's sources in its first deg slots
+    for s in range(pn):
+        want = sorted(src0[slot0 == s])
+        deg = len(want)
+        assert sorted(mail[s, :deg]) == want
+        assert np.all(mail[s, deg:] == num_rows)
+    # transpose tables: flat positions invert the mailbox placement and
+    # are sorted by source row
+    assert np.all(np.diff(rev_rows) >= 0)
+    assert np.array_equal(np.sort(rev_rows), np.sort(e_src))
+    flat_mail = mail.reshape(-1)
+    assert np.array_equal(flat_mail[rev_pos], rev_rows)
