@@ -161,6 +161,8 @@ def _plot_relative_error(options, case_idx, levels, preds, arrival):
 
 def main(argv=None):
     options = get_options(argv)
+    from .parallel.distributed import maybe_initialize
+    maybe_initialize()  # multi-host slices; env-gated no-op otherwise
     if options.compile_cache_dir:
         from .utils.cache import enable_compile_cache
         enable_compile_cache(options.compile_cache_dir)  # TPU-only

@@ -297,6 +297,8 @@ def train(options, seed):
 
 def main(argv=None):
     options = get_options(argv)
+    from .parallel.distributed import maybe_initialize
+    maybe_initialize()  # multi-host slices; env-gated no-op otherwise
     seed = options.seed
     random.seed(seed)
     np.random.seed(seed)

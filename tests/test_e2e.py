@@ -168,8 +168,9 @@ def test_train_merged_exact_levels_cli(pipeline_dirs, tmp_path):
 
 
 def test_train_loss_decreases_bf16():
-    """--compute_dtype bfloat16 (bf16 node state/gathers, f32 params):
-    training still converges on a small random design."""
+    """--compute_dtype bfloat16 (bf16-packed feature tables and matmul
+    operands; f32 params and — on the exact path — f32 node-state
+    carries): training still converges on a small random design."""
     import jax
     import jax.numpy as jnp
     from prtp_tpu.data.random_design import make_random_design
