@@ -390,6 +390,25 @@ def choose_pair_groups(cell_sizes, net_sizes, num_groups):
     return list(reversed(bounds))
 
 
+def auto_scan_groups(cell_sizes, net_sizes, max_groups=8, overhead=1.15):
+    """Smallest group count whose padded compute is within ``overhead``
+    of the exact (zero-padding) cost — `--scan_groups 0` resolves
+    through this, so users get near-exact compute with a handful of
+    compiled scan bodies without hand-tuning G. On uniform level
+    profiles this returns 1 (the single scan already fits)."""
+    p = len(cell_sizes)
+    exact = float(sum(cell_sizes) + sum(net_sizes))
+    if exact <= 0 or p <= 1:
+        return 1
+    for g in range(1, min(max_groups, p) + 1):
+        bounds = choose_pair_groups(cell_sizes, net_sizes, g)
+        cost = sum((j - i) * (max(cell_sizes[i:j]) + max(net_sizes[i:j]))
+                   for i, j in bounds)
+        if cost <= overhead * exact:
+            return g
+    return min(max_groups, p)
+
+
 def pack_leveled_graph_grouped(parsed, num_groups=4, align=128,
                                compute_dtype=jnp.float32):
     """Grouped-scan packer. Returns (graph, node_row, num_rows)."""
@@ -712,6 +731,14 @@ def pack_design(parsed, map_size=128, align=128, compute_dtype=jnp.float32,
     common bucket so multiple designs can be stacked (multi-design
     batching / design-axis data parallelism).
     """
+    if scan_groups == 0 and not exact_levels:
+        # --scan_groups 0 = auto: smallest G within 15% of exact compute
+        levels = parsed["levels"]
+        n_pairs = (len(levels) + 1) // 2
+        cs = [len(levels[2 * k][0]) for k in range(n_pairs)]
+        ns = [len(levels[2 * k + 1][0]) if 2 * k + 1 < len(levels) else 0
+              for k in range(n_pairs)]
+        scan_groups = auto_scan_groups(cs, ns)
     if exact_levels:
         assert pad_to is None, \
             "exact_levels has true per-level shapes; bucketing unsupported"

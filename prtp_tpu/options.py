@@ -151,9 +151,11 @@ def get_options(args=None):
                           "as one lax.scan — the middle ground between "
                           "the single padded scan (N=1, one compiled "
                           "body, most padded compute) and --exact_levels "
-                          "(no padding, slowest compile). Disables "
-                          "cross-design bucketing when N>1; ignored "
-                          "under --exact_levels")
+                          "(no padding, slowest compile). N=0 picks the "
+                          "smallest N whose padded compute is within 15%% "
+                          "of exact automatically. Disables cross-design "
+                          "bucketing when N!=1; ignored under "
+                          "--exact_levels")
     tpu.add_argument("--gnn_unroll", type=int, default=1,
                      help="lax.scan unroll factor over GNN level pairs; "
                           "0 = fully unroll (fastest on kernel-launch-bound "

@@ -69,8 +69,9 @@ def test(options, designs):
     # one padded bucket across designs => a single eval-step compile;
     # --exact_levels trades that for zero padded compute per design
     exact = getattr(options, "exact_levels", False)
-    scan_groups = 1 if exact else max(1, getattr(options, "scan_groups", 1))
-    bucket = (None if exact or scan_groups > 1
+    # 0 = auto (pack_design resolves the group count per design)
+    scan_groups = 1 if exact else max(0, getattr(options, "scan_groups", 1))
+    bucket = (None if exact or scan_groups != 1
               else bucket_shape(parsed_all, map_size=options.map_size))
     want_patches = not options.no_cnn and not options.unet
     first_pack = pack_design(parsed_all[0], map_size=options.map_size,

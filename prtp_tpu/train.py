@@ -119,9 +119,10 @@ def train(options, seed):
     compute_dtype = (jnp.bfloat16 if options.compute_dtype == "bfloat16"
                      else jnp.float32)
 
+    # 0 = auto (pack_design resolves the group count per design)
     scan_groups = (1 if options.exact_levels
-                   else max(1, getattr(options, "scan_groups", 1)))
-    if options.exact_levels or scan_groups > 1:
+                   else max(0, getattr(options, "scan_groups", 1)))
+    if options.exact_levels or scan_groups != 1:
         # per-design shapes (true per-level under --exact_levels,
         # per-group maxima under --scan_groups): fastest per design,
         # one compile per design shape

@@ -238,3 +238,58 @@ def test_sorted_level_tables_invariants():
     assert np.array_equal(np.sort(rev_rows), np.sort(e_src))
     flat_mail = mail.reshape(-1)
     assert np.array_equal(flat_mail[rev_pos], rev_rows)
+
+
+def test_auto_scan_groups():
+    """--scan_groups 0 = auto: front-loaded profiles split (padded
+    compute within 15% of exact), uniform profiles stay at 1."""
+    from prtp_tpu.graph import auto_scan_groups, choose_pair_groups
+
+    # front-loaded: a single scan pads every pair to the first level
+    cell = [120, 40, 12, 6, 4, 3]
+    net = [100, 30, 10, 5, 3, 2]
+    g = auto_scan_groups(cell, net)
+    assert g > 1
+    bounds = choose_pair_groups(cell, net, g)
+    cost = sum((j - i) * (max(cell[i:j]) + max(net[i:j]))
+               for i, j in bounds)
+    assert cost <= 1.15 * (sum(cell) + sum(net))
+
+    # uniform: the single scan is already within 15% of exact
+    assert auto_scan_groups([16] * 8, [16] * 8) == 1
+    # degenerate
+    assert auto_scan_groups([5], [4]) == 1
+
+
+def test_pack_design_auto_groups_matches_padded():
+    """pack_design(scan_groups=0) resolves the group count and the
+    resulting forward matches the single padded scan."""
+    from prtp_tpu.graph import pack_design
+    from prtp_tpu.models import PathModel
+    rng = np.random.default_rng(31)
+    from helpers import make_random_leveled_graph as _mk
+    g = _mk(rng, level_sizes=(48, 36, 24, 16, 5, 4, 3, 3))
+    n = g["num_nodes"]
+    endpoints = np.asarray(g["levels"][-1][0], dtype=np.int64)
+    parsed = dict(
+        g,
+        arrival_time=rng.normal(size=n).astype(np.float32),
+        required_time=rng.normal(size=n).astype(np.float32),
+        is_critical=np.zeros(n, np.int32),
+        path_endpoint=endpoints,
+        path_level=np.full(len(endpoints), len(g["levels"]) - 1,
+                           np.float32),
+        mask_coo=np.zeros((2, 0), np.int64),
+        num_paths=len(endpoints),
+        cnn_input=rng.normal(size=(2, 64, 64)).astype(np.float32),
+    )
+    d_auto = pack_design(parsed, map_size=16, scan_groups=0, align=8)
+    d_pad = pack_design(parsed, map_size=16, scan_groups=1, align=8)
+    assert hasattr(d_auto.graph, "groups"), "auto must pick G>1 here"
+    model = PathModel(out_dim=16, hidden_dim=32, cnn_outdim=8,
+                      map_size=16, global_dim=8)
+    ids = jnp.arange(parsed["num_paths"], dtype=jnp.int32)
+    v = model.init(jax.random.PRNGKey(0), d_pad, ids)
+    np.testing.assert_allclose(
+        np.asarray(model.apply(v, d_auto, ids)),
+        np.asarray(model.apply(v, d_pad, ids)), rtol=1e-4, atol=1e-5)
