@@ -117,18 +117,26 @@ def step_cost_model(parsed, batch):
     return total_flops, bytes_step
 
 
-def bench_tpu(parsed, inference=True, trials=3, packing="exact"):
+def build_point_step(parsed, packing):
+    """Shared construction of one TPU point's step + inputs.
+
+    ALSO imported by scripts/warm_cache.py, whose offline compile only
+    helps if it produces the SAME HLO (and therefore the same persistent
+    cache key) as the bench point — every shape/seed/arg that affects
+    the compiled program must live here, not in the callers.
+
+    Returns (model, design, state, step, ids, mask, batch).
+    """
     import jax
+    import jax.numpy as jnp
     from prtp_tpu.utils.cache import enable_compile_cache
     enable_compile_cache()
     from prtp_tpu.graph import pack_design
     from prtp_tpu.models import PathModel
     from prtp_tpu.trainer import (init_state, make_multi_train_step,
                                   make_optimizer, pad_batch)
+    from prtp_tpu.data.random_design import make_random_design
 
-    # exact-levels packing: per-level true shapes, python-unrolled GNN —
-    # no padded compute, fewest sequential fused regions (MODEL_NOTES.md)
-    import jax.numpy as jnp
     dtype = (jnp.bfloat16 if os.environ.get("BENCH_DTYPE") == "bfloat16"
              else jnp.float32)
     t0 = time.time()
@@ -146,7 +154,6 @@ def bench_tpu(parsed, inference=True, trials=3, packing="exact"):
     # init on a TINY proxy design: the param tree depends only on the
     # feature dims / map size, not on level count or graph size, and the
     # init compile of the big unrolled graph costs minutes on this host
-    from prtp_tpu.data.random_design import make_random_design
     proxy = pack_design(
         make_random_design([16, 24, 16, 24], cell_feat_dim=CELL_FEAT,
                            net_feat_dim=NET_FEAT, map_size=MAP_SIZE,
@@ -168,12 +175,20 @@ def bench_tpu(parsed, inference=True, trials=3, packing="exact"):
         "(graph-size-independent; slow = cold CNN compile or tunnel)")
     # N steps per dispatch: measures device throughput, not the
     # host->device round-trip latency of this container's TPU tunnel.
-    inner = TPU_STEPS
-    step = make_multi_train_step(model, tx, inner, "reg")
+    step = make_multi_train_step(model, tx, TPU_STEPS, "reg")
     batch = min(BATCH, design.num_paths)
     rng = np.random.default_rng(0)
     ids, mask = pad_batch(
         rng.permutation(design.num_paths)[:batch].astype(np.int64), batch)
+    return model, design, state, step, ids, mask, batch
+
+
+def bench_tpu(parsed, inference=True, trials=3, packing="exact"):
+    import jax
+
+    (model, design, state, step,
+     ids, mask, batch) = build_point_step(parsed, packing)
+    inner = TPU_STEPS
 
     t0 = time.time()
     state, mets = step(state, design, ids, mask)
@@ -208,7 +223,7 @@ def bench_tpu(parsed, inference=True, trials=3, packing="exact"):
         return best, design.num_paths, batch, None, xla_flops
 
     # inference: full-design forward (all paths), designs/sec
-    from prtp_tpu.trainer import make_eval_step
+    from prtp_tpu.trainer import make_eval_step, pad_batch
     all_ids, all_mask = pad_batch(
         np.arange(design.num_paths, dtype=np.int64), design.num_paths)
     ev = make_eval_step(model, "reg")
@@ -581,7 +596,8 @@ def main():
     first = os.environ.get("BENCH_BIG_PACKING")
     chain = ([(first, max(120.0, min(1200.0, remaining())))] if first
              else [("exact", 240.0), ("grouped", 600.0)])
-    chain.append(("scan", 600.0))
+    if first != "scan":
+        chain.append(("scan", 600.0))
     big = None
     for packing, cap in chain:
         if big is not None or remaining() < 60:

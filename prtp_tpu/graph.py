@@ -390,21 +390,30 @@ def choose_pair_groups(cell_sizes, net_sizes, num_groups):
     return list(reversed(bounds))
 
 
-def auto_scan_groups(cell_sizes, net_sizes, max_groups=8, overhead=1.15):
+def auto_scan_groups(cell_sizes, net_sizes, max_groups=8, overhead=1.15,
+                     align=1):
     """Smallest group count whose padded compute is within ``overhead``
-    of the exact (zero-padding) cost — `--scan_groups 0` resolves
-    through this, so users get near-exact compute with a handful of
-    compiled scan bodies without hand-tuning G. On uniform level
-    profiles this returns 1 (the single scan already fits)."""
+    of the best any aligned grouping can achieve — `--scan_groups 0`
+    resolves through this, so users get near-exact compute with a
+    handful of compiled scan bodies without hand-tuning G. Level sizes
+    are rounded up to ``align`` first (the packers pad group maxima to
+    the alignment, so sub-align differences cannot be recovered by
+    splitting — without this a front-loaded but sub-align profile would
+    pay G compiled bodies for zero compute saving). Uniform profiles
+    return 1 (the single scan already fits)."""
+    cell_sizes = [_round_up(c, align) for c in cell_sizes]
+    net_sizes = [_round_up(n, align) for n in net_sizes]
     p = len(cell_sizes)
-    exact = float(sum(cell_sizes) + sum(net_sizes))
-    if exact <= 0 or p <= 1:
+    # the best achievable with aligned per-group padding: every pair in
+    # its own group
+    ideal = float(sum(cell_sizes) + sum(net_sizes))
+    if ideal <= 0 or p <= 1:
         return 1
     for g in range(1, min(max_groups, p) + 1):
         bounds = choose_pair_groups(cell_sizes, net_sizes, g)
         cost = sum((j - i) * (max(cell_sizes[i:j]) + max(net_sizes[i:j]))
                    for i, j in bounds)
-        if cost <= overhead * exact:
+        if cost <= overhead * ideal:
             return g
     return min(max_groups, p)
 
@@ -738,7 +747,7 @@ def pack_design(parsed, map_size=128, align=128, compute_dtype=jnp.float32,
         cs = [len(levels[2 * k][0]) for k in range(n_pairs)]
         ns = [len(levels[2 * k + 1][0]) if 2 * k + 1 < len(levels) else 0
               for k in range(n_pairs)]
-        scan_groups = auto_scan_groups(cs, ns)
+        scan_groups = auto_scan_groups(cs, ns, align=align)
     if exact_levels:
         assert pad_to is None, \
             "exact_levels has true per-level shapes; bucketing unsupported"

@@ -231,10 +231,14 @@ class TimeGNN(nn.Module):
             return self._call_exact(g, h0)
         grouped = isinstance(g, LeveledGraphGrouped)
         num_rows = g.num_rows
-        feat_dtype = (g.groups[0] if grouped else g).cell_feat_lvl.dtype
+        # f32 node-state carry on EVERY path (scan/grouped here, exact in
+        # _call_exact): mixed precision means bf16-packed feature tables
+        # and bf16 matmul operands (mlp_dtype via Dense dtype), never
+        # bf16 carries — a bf16 carry compounds rounding per level pair
+        # in both the forward state and the backward cotangents.
         h = (h0 if h0 is not None
              else jnp.zeros((num_rows + 1, self.out_dim),
-                            dtype=feat_dtype))
+                            dtype=jnp.float32))
         scan_mod = nn.scan(
             _PairStep,
             variable_broadcast="params",

@@ -36,6 +36,25 @@ CNN_HW = _env("CNN_HW", 512)
 STEPS = _env("TPU_STEPS", 30)
 
 
+def _entry_op_count(hlo_text):
+    """Number of instructions in the optimized HLO's ENTRY computation
+    (each fusion = one executed region; fused bodies don't count)."""
+    count, in_entry, depth = 0, False, 0
+    for line in hlo_text.splitlines():
+        s = line.strip()
+        if not in_entry:
+            if s.startswith("ENTRY"):
+                in_entry = True
+                depth = s.count("{") - s.count("}")
+            continue
+        depth += s.count("{") - s.count("}")
+        if depth <= 0:
+            break
+        if " = " in s and not s.startswith("//"):
+            count += 1
+    return count or None
+
+
 def measure(model, design, tag, rows):
     import jax
     from prtp_tpu.trainer import (init_state, make_multi_train_step,
@@ -59,13 +78,16 @@ def measure(model, design, tag, rows):
         best = min(best, (time.time() - t0) / STEPS)
     flops = ops = None
     try:
-        ca = step.lower(state, design, ids, mask).compile().cost_analysis()
+        compiled = step.lower(state, design, ids, mask).compile()
+        ca = compiled.cost_analysis()
         ca = ca[0] if isinstance(ca, (list, tuple)) else ca
         if ca:
             flops = ca.get("flops")
-            # transcendentals+utilization keys vary by backend; op count
-            # is the utilization denominator we care about for the floor
-            ops = ca.get("utilization operand count") or None
+        # executed-op count = instructions in the optimized HLO's ENTRY
+        # computation (each fusion counts once — the sequential fused
+        # regions the launch-floor claim is about). cost_analysis has no
+        # op-count key on this backend.
+        ops = _entry_op_count(compiled.as_text())
     except Exception as e:
         print(f"cost_analysis unavailable for {tag}: {e}", file=sys.stderr)
     rows.append({

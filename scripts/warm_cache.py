@@ -33,49 +33,22 @@ sys.path.insert(0, REPO)
 
 
 def _attempt(point, packing):
-    """One compile attempt, in-process (run inside a child)."""
+    """One compile attempt, in-process (run inside a child).
+
+    Uses bench.build_point_step — the ONE place the point's shapes,
+    seeds and step construction live — so the compiled HLO (and the
+    persistent-cache key) is identical to what the bench point runs.
+    """
     import bench
-    from prtp_tpu.utils.cache import enable_compile_cache
-    enable_compile_cache()
     import jax
-    from prtp_tpu.graph import pack_design
-    from prtp_tpu.models import PathModel
-    from prtp_tpu.trainer import (init_state, make_multi_train_step,
-                                  make_optimizer, pad_batch)
-    import jax.numpy as jnp
-    import numpy as np
 
     if point == "big":
         parsed, _ = bench.build_design(bench.BIG_NODES, bench.BIG_LEVELS,
                                        seed=11)
     else:
         parsed, _ = bench.build_design()
-    dtype = (jnp.bfloat16 if os.environ.get("BENCH_DTYPE") == "bfloat16"
-             else jnp.float32)
-    t0 = time.time()
-    design = pack_design(
-        parsed, map_size=bench.MAP_SIZE, exact_levels=packing == "exact",
-        scan_groups=bench.SCAN_GROUPS if packing == "grouped" else 1,
-        compute_dtype=dtype)
-    print(f"pack: {time.time() - t0:.1f}s", file=sys.stderr)
-    model = PathModel(out_dim=bench.OUT_DIM, hidden_dim=bench.HIDDEN,
-                      cnn_outdim=bench.OUT_DIM, map_size=bench.MAP_SIZE,
-                      compute_dtype=(jnp.bfloat16 if dtype == jnp.bfloat16
-                                     else None))
-    tx = make_optimizer(1e-3)
-    from prtp_tpu.data.random_design import make_random_design
-    proxy = pack_design(
-        make_random_design([16, 24, 16, 24], cell_feat_dim=bench.CELL_FEAT,
-                           net_feat_dim=bench.NET_FEAT,
-                           map_size=bench.MAP_SIZE, cnn_hw=bench.CNN_HW,
-                           seed=1),
-        map_size=bench.MAP_SIZE, exact_levels=True)
-    state = init_state(model, tx, proxy, jax.random.PRNGKey(0))
-    step = make_multi_train_step(model, tx, bench.TPU_STEPS, "reg")
-    batch = min(bench.BATCH, design.num_paths)
-    rng = np.random.default_rng(0)
-    ids, mask = pad_batch(
-        rng.permutation(design.num_paths)[:batch].astype(np.int64), batch)
+    (_model, design, state, step,
+     ids, mask, _batch) = bench.build_point_step(parsed, packing)
     t0 = time.time()
     # compile WITHOUT dispatching a step (no timing, no training state
     # mutation): lower+compile populates the persistent cache.

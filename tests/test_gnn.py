@@ -259,6 +259,11 @@ def test_auto_scan_groups():
     assert auto_scan_groups([16] * 8, [16] * 8) == 1
     # degenerate
     assert auto_scan_groups([5], [4]) == 1
+    # sub-align front-loaded profile: alignment round-up makes every
+    # grouping cost the same, so splitting buys nothing -> stay at 1
+    assert auto_scan_groups(cell, net, align=128) == 1
+    assert auto_scan_groups([c * 10 for c in cell],
+                            [n * 10 for n in net], align=128) > 1
 
 
 def test_pack_design_auto_groups_matches_padded():
