@@ -220,8 +220,14 @@ def train(options, seed):
         design_units = [("+".join(train_designs), True)]
     else:
         design_units = [(d, False) for d in train_designs]
+    # double-buffered input pipeline: validation designs pack in the
+    # background (the reference validates at batch 0, src/train.py:566),
+    # and each upcoming train design prefetches while the current one
+    # trains — host packing overlaps device steps (DesignCache.prefetch)
+    for d in val_designs:
+        cache_val.prefetch(d, lambda d=d: _load("test", options, d))
     for epoch in range(options.num_epoch):
-        for design, is_merged in design_units:
+        for unit_idx, (design, is_merged) in enumerate(design_units):
             if is_merged:
                 pack = merged_pack
                 num_batch = max(
@@ -232,6 +238,11 @@ def train(options, seed):
             else:
                 pack, parsed = cache_tr.get(
                     design, lambda d=design: _load("train", options, d))
+                if len(design_units) > 1:
+                    # pack the next design while this one trains
+                    nxt = design_units[(unit_idx + 1) % len(design_units)][0]
+                    cache_tr.prefetch(
+                        nxt, lambda d=nxt: _load("train", options, d))
                 ids = parsed["path_ids"]
                 num_batch = batch_count(len(ids), options.batch_size,
                                         options.droplast)

@@ -311,14 +311,43 @@ def batch_count(num_ids: int, batch_size: int, drop_last: bool) -> int:
 class DesignCache:
     """Packed-design cache: loads a design npz once per process and keeps
     the device-resident DesignData (the reference re-loads the pickle from
-    disk every epoch, src/train.py:461-463)."""
+    disk every epoch, src/train.py:461-463).
+
+    :meth:`prefetch` loads+packs a design on ONE background worker thread
+    so host-side preprocessing (npz read, level-table build, im2col
+    patches, H2D puts) overlaps the device steps of the design currently
+    training — the double-buffered input pipeline of SURVEY §7 phase 4.
+    The worker holds the GIL only while doing numpy work; while the main
+    thread waits on device dispatches the overlap is real even on one
+    core. A prefetch failure is not swallowed: the exception re-raises
+    at the blocking :meth:`get`."""
 
     def __init__(self, pack_fn):
         self._pack = pack_fn
         self._cache = {}
+        self._pending = {}
+        self._pool = None
+
+    def _load_and_pack(self, loader):
+        parsed = loader()
+        return (self._pack(parsed), parsed)
 
     def get(self, key, loader):
-        if key not in self._cache:
-            parsed = loader()
-            self._cache[key] = (self._pack(parsed), parsed)
+        if key in self._cache:
+            return self._cache[key]
+        fut = self._pending.pop(key, None)
+        if fut is not None:
+            self._cache[key] = fut.result()  # re-raises worker errors
+        else:
+            self._cache[key] = self._load_and_pack(loader)
         return self._cache[key]
+
+    def prefetch(self, key, loader):
+        """Schedule load+pack of ``key`` in the background (idempotent)."""
+        if key in self._cache or key in self._pending:
+            return
+        if self._pool is None:
+            from concurrent.futures import ThreadPoolExecutor
+            self._pool = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="prtp-prefetch")
+        self._pending[key] = self._pool.submit(self._load_and_pack, loader)

@@ -129,3 +129,46 @@ def test_scan_train_step_matches_sequential_batches():
     s2, mets = scan(state, design, ids2d, mask2d)
     np.testing.assert_allclose(np.asarray(mets["loss"]), losses, rtol=1e-5)
     assert int(s2.step) == 2
+
+
+def test_design_cache_prefetch():
+    """prefetch packs in the background; get returns the same tuple a
+    synchronous load would, re-raises worker errors, and never double
+    loads (DesignCache.prefetch)."""
+    import threading
+    import time as _time
+    from prtp_tpu.trainer import DesignCache
+
+    calls = []
+    main_thread = threading.get_ident()
+    off_thread = []
+
+    def pack(parsed):
+        off_thread.append(threading.get_ident() != main_thread)
+        return ("packed", parsed)
+
+    cache = DesignCache(pack)
+
+    def loader_a():
+        calls.append("a")
+        _time.sleep(0.05)
+        return {"name": "a"}
+
+    cache.prefetch("a", loader_a)
+    cache.prefetch("a", loader_a)  # idempotent while pending
+    pack_a, parsed_a = cache.get("a", loader_a)
+    assert parsed_a == {"name": "a"} and pack_a == ("packed", {"name": "a"})
+    assert calls == ["a"]          # loaded exactly once
+    assert off_thread == [True]    # ...and on the worker thread
+    # cached now: neither prefetch nor get reloads
+    cache.prefetch("a", loader_a)
+    cache.get("a", loader_a)
+    assert calls == ["a"]
+
+    # worker exceptions surface at get(), not silently
+    def loader_bad():
+        raise RuntimeError("corrupt npz")
+
+    cache.prefetch("bad", loader_bad)
+    with pytest.raises(RuntimeError, match="corrupt npz"):
+        cache.get("bad", loader_bad)
