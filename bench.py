@@ -531,14 +531,44 @@ def main():
     def remaining():
         return budget - (time.time() - T_START)
 
-    # tunnel health first: a 2-minute cap on "enumerate the device and
+    # headline dtype default: bf16 (the MXU-native dtype; params stay
+    # f32 masters, see models/*.compute_dtype). BENCH_DTYPE overrides.
+    os.environ.setdefault("BENCH_DTYPE", "bfloat16")
+
+    # Tunnel health GATE: a 2-minute cap on "enumerate the device and
     # run one tiny op". Failure here means every TPU point below is
-    # doomed — record that fact in the artifact instead of burning the
-    # budget discovering it three times.
-    probe = _run_point("probe", timeout=max(30.0, min(120.0, remaining())))
+    # doomed — so never spend a point-timeout on a dead device: retry
+    # the cheap PROBE with backoff while the budget still leaves room
+    # for a later headline run (this container's tunnel outages
+    # self-recover in ~5-15 min; round-3 failure mode was burning
+    # 900+450+300 s of point-timeouts after the probe already said
+    # dead). All attempts are recorded in the artifact.
+    attempts, backoff, probe = 0, 60.0, None
+    while True:
+        attempts += 1
+        probe = _run_point("probe",
+                           timeout=max(30.0, min(120.0, remaining())))
+        if probe and probe.get("ok"):
+            break
+        # a retry is only worth sleeping for if a success afterwards
+        # still leaves ~5 min to actually run the headline point
+        if remaining() < backoff + 120 + 300:
+            break
+        log(f"tunnel probe failed (attempt {attempts}); "
+            f"retrying in {backoff:.0f}s")
+        time.sleep(backoff)
+        backoff = min(backoff * 2, 300.0)
     tunnel = (probe if probe
               else {"ok": False, "error": "device probe failed/timed out"})
+    tunnel["attempts"] = attempts
     log(f"tunnel probe: {tunnel}")
+    if not tunnel.get("ok"):
+        print(json.dumps({"metric": "train_steps_per_sec", "value": None,
+                          "unit": "steps/s", "vs_baseline": None,
+                          "detail": {"error": "tunnel dead (probe-gated; "
+                                     "no points attempted)",
+                                     "tunnel_probe": tunnel}}))
+        return
 
     # The headline point MUST land: exact-levels packing, retried on a
     # fresh client (a tunnel fault does not survive the process), then a
@@ -607,6 +637,15 @@ def main():
     if big is None:
         log("big-design point: null")
 
+    # opportunistic f32 headline A/B (the r01-r03 headline dtype): the
+    # main number above is bf16; keep the f32 point in detail when the
+    # budget allows so the dtype speedup stays a measured fact.
+    f32 = None
+    if os.environ.get("BENCH_DTYPE") == "bfloat16" and remaining() > 420:
+        f32 = _run_point("headline",
+                         timeout=max(300.0, min(600.0, remaining())),
+                         extra_env={"BENCH_DTYPE": "float32"})
+
     # torch-CPU reference baseline + analytic cost model, in-parent
     # (numpy/torch only — the parent never opens the TPU client).
     parsed, _sizes = build_design()
@@ -640,6 +679,8 @@ def main():
             "compute_dtype": head.get("dtype", "float32"),
             "tunnel_probe": tunnel,
             "inference_designs_per_sec": round(inf_dps, 2),
+            "headline_f32_steps_per_sec": (round(f32["tpu_sps"], 3)
+                                           if f32 else None),
             "baseline": "torch-cpu reference-style levelized step "
                         f"({CPU_STEPS} timed steps, warm-up discarded)",
             "baseline_steps_per_sec": round(cpu_sps, 4) if cpu_sps else None,

@@ -522,7 +522,14 @@ class NetlistBuilder:
     def _find_critical_path(self, preds, node2level, endpoint):
         """Greedy backtrace through level-(k-1) predecessors, stopping at
         a clk pin or level<2 (reference :1433-1450), with a no-progress
-        guard the reference lacks."""
+        guard the reference lacks.
+
+        Order dependence: like the reference, the backtrace takes the
+        FIRST level-(k-1) predecessor in edge-insertion order; the
+        result is deterministic only because ``preds`` is built from
+        ``self.edges`` whose insertion order is itself deterministic
+        (module walk order + sorted level construction, see
+        _topo_levels)."""
         cur_node = endpoint
         cur_level = node2level[cur_node]
         path = [endpoint]
@@ -621,6 +628,8 @@ class NetlistBuilder:
 
     def build(self, netlist_text: str, timing_paths):
         """Netlist text + parsed timing paths -> graph dict."""
+        from time import time as _time
+        t_start = _time()
         modules = parse_verilog(netlist_text)
         if self.top_module not in modules:
             raise KeyError(f"top module {self.top_module} not found")
@@ -633,13 +642,25 @@ class NetlistBuilder:
         for u, v, _t in self.edges:
             succs.setdefault(u, []).append(v)
 
+        # per-stage wall-clock, the reference's preprocess observability
+        # surface (verilog_parser_asap7.py:1222-1224,1262-1264)
+        n_cell = sum(1 for _u, _v, t in self.edges if t == "cell")
+        print("--- Graph successfully built! num nodes: {}, num_edges: {},"
+              " spent time: {:.2f}".format(
+                  len(self.node_attrs), len(self.edges), _time() - t_start))
+        print("\t num cell-edges: {}, num net-edges: {}".format(
+            n_cell, len(self.edges) - n_cell))
+
         pos = set()
         po2path = {}
         for i, info in enumerate(timing_paths):
             pos.add(info.end)
             po2path[info.end] = i
 
+        t_topo = _time()
         topo_levels = self._topo_levels(succs, pis, pos, po2path)
+        print("\t num topological level: {}, spent time: {:.2f}".format(
+            len(topo_levels), _time() - t_topo))
         node2level = {}
         for li, (nodes, _t, _p) in enumerate(topo_levels):
             for nd in nodes:

@@ -119,31 +119,34 @@ class DesignData:
         return self.path_endpoint.shape[0]
 
 
-def make_cnn_patches(x_nhwc, k: int = 9):
+def make_cnn_patches(x_nhwc, k: int = 9, dtype=jnp.float32):
     """Device-side im2col for a SAME-padded k x k / stride-1 conv.
 
-    (K, H, W, C) -> (K, H*W, k*k*C) bfloat16, patch index ordered
+    (K, H, W, C) -> (K, H*W, k*k*C) in ``dtype``, patch index ordered
     (ky, kx, ci) to match an HWIO kernel's ``reshape(k*k*C, feat)``.
     Runs once at pack time (jitted); the result is design-constant
-    across train steps. Stored bf16 — the same product precision XLA's
-    DEFAULT TPU lowering uses for f32 convs — so the consuming matmul
-    needs no per-step convert of the table (0.77 ms/step when f32).
+    across train steps. Stored in the run's compute dtype: bf16 under
+    ``--compute_dtype bfloat16`` (no per-step f32->bf16 convert of the
+    170 MB table — 0.77 ms/step when stored f32), f32 otherwise so the
+    default path bit-matches the exact f32 conv (round-3 advisor
+    finding: an unconditional bf16 table rounded the conv INPUT ~0.4%
+    even in full-f32 runs).
     """
-    return _cnn_patches_impl(x_nhwc, k)
+    return _cnn_patches_impl(x_nhwc, k, jnp.dtype(dtype).name)
 
 
-@functools.partial(jax.jit, static_argnums=1)
-def _cnn_patches_impl(x, k):
-    # module-level jit: one compile per (shape, k), shared across all
-    # designs packed in the process (a per-call closure would re-trace
-    # the identical program once per design)
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def _cnn_patches_impl(x, k, dtype_name):
+    # module-level jit: one compile per (shape, k, dtype), shared across
+    # all designs packed in the process (a per-call closure would
+    # re-trace the identical program once per design)
     n, h, w, c = x.shape
     pad = k // 2
     xp = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
     cols = [xp[:, dy:dy + h, dx:dx + w, :]
             for dy in range(k) for dx in range(k)]
     pat = jnp.stack(cols, axis=3)           # (K, H, W, k*k, C)
-    return pat.reshape(n, h * w, k * k * c).astype(jnp.bfloat16)
+    return pat.reshape(n, h * w, k * k * c).astype(dtype_name)
 
 
 def bucket_shape(parsed_list, map_size=128, align=128):
@@ -432,7 +435,13 @@ def pack_leveled_graph_grouped(parsed, num_groups=4, align=128,
 
     cell_sizes = [len(lvl_ids(2 * k)) for k in range(n_pairs)]
     net_sizes = [len(lvl_ids(2 * k + 1)) for k in range(n_pairs)]
-    bounds = choose_pair_groups(cell_sizes, net_sizes, num_groups)
+    # partition on ALIGN-ROUNDED sizes — the group maxima are rounded up
+    # to `align` below, so this is the true padded cost, and it makes
+    # the partition identical to the one auto_scan_groups validated its
+    # <=overhead bound on (same rounding, same DP)
+    bounds = choose_pair_groups([_round_up(c, align) for c in cell_sizes],
+                                [_round_up(s, align) for s in net_sizes],
+                                num_groups)
 
     # per-group padded dims + global row layout
     g_pn = []
@@ -799,7 +808,8 @@ def pack_design(parsed, map_size=128, align=128, compute_dtype=jnp.float32,
         cnn_input=cnn_dev,
         # pass cnn_patches=False for the UNet branch / --no_cnn (unused
         # there; the table costs H*W*81*C floats of HBM per raster)
-        cnn_patches=make_cnn_patches(cnn_dev) if cnn_patches else None,
+        cnn_patches=(make_cnn_patches(cnn_dev, dtype=compute_dtype)
+                     if cnn_patches else None),
     )
 
 

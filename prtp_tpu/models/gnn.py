@@ -305,8 +305,9 @@ class TimeGNN(nn.Module):
         forward math, hand-written backward that carries one cotangent
         buffer and merges each pair's two mailbox backscatters into a
         single sorted scatter-add (the measured backward bottleneck).
-        Falls back to autodiff during init (params don't exist yet) and
-        for the attention variant."""
+        Covers both the default softmax reduce and the ``--attn``
+        multi-head attention reduce (ops/fused_gnn._attn_sum/_attn_bwd).
+        Falls back to autodiff during init (params don't exist yet)."""
         assert self.reduce_mode == "mailbox", \
             "exact-levels mode supports the mailbox reduce"
         num_rows = g.num_rows
@@ -318,20 +319,24 @@ class TimeGNN(nn.Module):
         h = (h0 if h0 is not None
              else jnp.zeros((num_rows + 1, self.out_dim),
                             dtype=jnp.float32))
-        if (self.fused_vjp and not self.flag_attn
+        if (self.fused_vjp
                 and len(g.merged_pos) == g.num_pairs
                 and len(g.gather_rows) == g.num_pairs
                 and not self.is_initializing()):
             from ..ops.fused_gnn import fused_exact_gnn
             pp = self.variables["params"]["pair_step"]
-            params = {k: pp[k] for k in
-                      ("fc_cell_self", "fc_cell_neigh", "fc_net_self")}
+            keys = ["fc_cell_self", "fc_cell_neigh", "fc_net_self"]
+            if self.flag_attn:
+                keys.append("fc_attn2")
+            params = {k: pp[k] for k in keys}
+            # 5th slot: bf16 MXU matmuls with f32 accumulation inside
+            # the fused VJP (ops/fused_gnn._mm); carries/reduces stay
+            # f32. 6th: attention head count (0 = softmax reduce).
             config = (num_rows, self.dgl_parity,
-                      tuple(g.cell_off), tuple(g.net_off))
-            if self.mlp_dtype is not None:
-                # bf16 MXU matmuls with f32 accumulation inside the
-                # fused VJP (ops/fused_gnn._mm); carries/reduces stay f32
-                config = config + (jnp.dtype(self.mlp_dtype).name,)
+                      tuple(g.cell_off), tuple(g.net_off),
+                      (jnp.dtype(self.mlp_dtype).name
+                       if self.mlp_dtype is not None else None),
+                      self.num_heads if self.flag_attn else 0)
             blocks = tuple(
                 dict(cell_feat=g.cell_feat_lvl[k],
                      net_feat=g.net_feat_lvl[k],

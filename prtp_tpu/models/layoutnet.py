@@ -10,10 +10,11 @@ kernel — ``patches @ kernel.reshape(-1, 32)`` forward and (via
 autodiff) ``patches^T @ grad`` weight-gradient are plain MXU matmuls.
 XLA's native weight-gradient conv for this tiny-channel layer profiled
 at 1.8 TFLOP/s (1.47 ms/step on v5e); the raster needs no
-input-gradient at all. The patch table is stored in bfloat16 — the
-same product precision XLA's own DEFAULT lowering uses for f32 convs
-on TPU — so no per-step f32->bf16 convert of the 170 MB table is
-materialized (profiled at 0.77 ms/step when stored f32).
+input-gradient at all. The patch table is stored in the run's compute
+dtype (``pack_design(compute_dtype=...)``): bf16 under
+``--compute_dtype bfloat16`` so no per-step f32->bf16 convert of the
+170 MB table is materialized (0.77 ms/step when stored f32), f32
+otherwise so the default path matches the exact f32 conv.
 
 Measured A/B (80k-node headline step, v5e): plain convs 62.9 steps/s;
 im2col fwd 65.0; a custom-vjp variant that kept the conv forward and

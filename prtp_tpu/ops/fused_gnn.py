@@ -19,9 +19,10 @@ so this module implements the backward by hand:
   deduped — each node is written exactly once, at its own level), so
   ``h_final[mail] == h_carried[mail]`` for every level.
 
-Semantics mirror ``models.gnn._PairStep`` (mailbox reduce, no attention)
-including ``dgl_parity`` masking; equivalence with autodiff is asserted
-by tests/test_fused_gnn.py.
+Semantics mirror ``models.gnn._PairStep`` (mailbox reduce, with or
+without the ``--attn`` multi-head attention variant) including
+``dgl_parity`` masking; equivalence with autodiff is asserted by
+tests/test_fused_gnn.py.
 """
 
 from __future__ import annotations
@@ -82,15 +83,60 @@ def _mean_sum(m, valid):
     return s / cnt, cnt
 
 
+def _attn_sum(m, valid, w, nh):
+    """(Multi-head) attention reduce matching
+    ``models.gnn._PairStep._cell_neigh_mailbox_attn``: per-edge
+    per-head scores ``m @ w``, masked per-head softmax over the mailbox
+    axis, heads reading disjoint out_dim/nh value slices (GAT-style
+    concat). Scores/weights stay f32 (exp/-inf). Returns (out, alpha)."""
+    pn, md, d = m.shape
+    scores = jnp.einsum("pmd,dh->pmh", m, w)
+    scores = jnp.where(valid, scores, -jnp.inf)
+    mx = jnp.max(scores, axis=1, keepdims=True)
+    mx = jnp.where(jnp.isfinite(mx), mx, 0.0)
+    ex = jnp.where(valid, jnp.exp(scores - mx), 0.0)
+    alpha = ex / jnp.maximum(ex.sum(axis=1, keepdims=True), 1e-12)
+    if nh == 1:
+        out = (alpha * m).sum(axis=1)
+    else:
+        mh = m.reshape(pn, md, nh, d // nh)
+        out = (alpha[..., None] * mh).sum(axis=1).reshape(pn, d)
+    return out, alpha
+
+
+def _attn_bwd(m, valid, w, nh, d_out):
+    """VJP of :func:`_attn_sum` w.r.t. (w, m) given ``d_out`` (pn, d):
+    value-path grad ``alpha * d_out`` plus the per-head softmax backward
+    ``alpha * (d_alpha - <alpha, d_alpha>)`` routed through the score
+    projection. Invalid mailbox slots carry exactly zero."""
+    pn, md, d = m.shape
+    dh = d // nh
+    _out, alpha = _attn_sum(m, valid, w, nh)
+    mh = m.reshape(pn, md, nh, dh)
+    d_oh = d_out.reshape(pn, nh, dh)
+    d_alpha = jnp.einsum("pmhd,phd->pmh", mh, d_oh)
+    d_m = (alpha[..., None] * d_oh[:, None]).reshape(pn, md, d)
+    d_scores = alpha * (d_alpha
+                        - (alpha * d_alpha).sum(axis=1, keepdims=True))
+    d_scores = jnp.where(valid, d_scores, 0.0)
+    d_w = jnp.einsum("pmd,pmh->dh", m, d_scores)
+    d_m = d_m + jnp.einsum("pmh,dh->pmd", d_scores, w)
+    return d_w, d_m
+
+
 def _unpack_config(config):
-    """(num_rows, dgl_parity, cell_off, net_off[, mm_dtype_str]) —
-    the optional 5th element ('bfloat16') selects bf16 MXU matmuls with
-    f32 accumulation for every _mlp/_mlp_grads product (everything
-    else — softmax, means, scatters, the h/dh carries — stays f32)."""
+    """(num_rows, dgl_parity, cell_off, net_off[, mm_dtype_str,
+    num_heads]) — the optional 5th element ('bfloat16') selects bf16
+    MXU matmuls with f32 accumulation for every _mlp/_mlp_grads product
+    (everything else — softmax, attention, means, scatters, the h/dh
+    carries — stays f32); the optional 6th element selects the
+    attention cell reduce with that head count (0/absent = mailbox
+    softmax reduce)."""
     num_rows, dgl_parity, cell_off, net_off = config[:4]
     mm = jnp.bfloat16 if len(config) > 4 and config[4] == "bfloat16" \
         else None
-    return num_rows, dgl_parity, cell_off, net_off, mm
+    nh = config[5] if len(config) > 5 else 0
+    return num_rows, dgl_parity, cell_off, net_off, mm, nh
 
 
 def _forward_impl(config, params, h0, blocks):
@@ -101,7 +147,7 @@ def _forward_impl(config, params, h0, blocks):
     sources — the common case, the driver was just written by this
     pair's cell half — never touch HBM again). Pair 0 skips the gather
     entirely: PIs have no in-edges, its mailbox is all-dummy."""
-    num_rows, dgl_parity, cell_off, net_off, mm = _unpack_config(config)
+    num_rows, dgl_parity, cell_off, net_off, mm, nh = _unpack_config(config)
     h = h0
     d = h.shape[1]
     for k, b in enumerate(blocks):
@@ -116,7 +162,11 @@ def _forward_impl(config, params, h0, blocks):
         pre = _mlp(params["fc_cell_self"], b["cell_feat"], mm)
         if k > 0:  # level 0 drops the neighbor term
             m_c = gat[: pn_c * md_c].reshape(pn_c, md_c, d)
-            neigh, _w = _softmax_sum(m_c, valid)
+            if nh:
+                neigh, _a = _attn_sum(m_c, valid,
+                                      params["fc_attn2"]["kernel"], nh)
+            else:
+                neigh, _w = _softmax_sum(m_c, valid)
             pre = pre + _mlp(params["fc_cell_neigh"], neigh, mm)
         new = jax.nn.relu(pre)
         if dgl_parity:
@@ -163,7 +213,8 @@ def _fwd(config, params, h0, blocks):
 
 
 def _bwd(config, res, g):
-    num_rows, dgl_parity, cell_off, net_off, mm = _unpack_config(config)
+    (num_rows, dgl_parity, cell_off, net_off, mm,
+     nh) = _unpack_config(config)
     params, h0, blocks, hf = res
     d = hf.shape[1]
     dh = g
@@ -219,12 +270,21 @@ def _bwd(config, res, g):
         acc(dparams, "fc_cell_self", dp_self)
         if k > 0:
             m = hf[b["cell_mail"]]
-            f, w = _softmax_sum(m, validc)
-            dp_neigh, d_f = _mlp_grads(params["fc_cell_neigh"], f,
-                                       d_pre_c, mm)
-            acc(dparams, "fc_cell_neigh", dp_neigh)
-            # d f/d m_j = w_j (1 + m_j - f) elementwise per channel
-            d_mail_c = d_f[:, None, :] * w * (1.0 + m - f[:, None, :])
+            if nh:
+                w_attn = params["fc_attn2"]["kernel"]
+                f, _a = _attn_sum(m, validc, w_attn, nh)
+                dp_neigh, d_f = _mlp_grads(params["fc_cell_neigh"], f,
+                                           d_pre_c, mm)
+                acc(dparams, "fc_cell_neigh", dp_neigh)
+                d_w, d_mail_c = _attn_bwd(m, validc, w_attn, nh, d_f)
+                acc(dparams, "fc_attn2", {"kernel": d_w})
+            else:
+                f, w = _softmax_sum(m, validc)
+                dp_neigh, d_f = _mlp_grads(params["fc_cell_neigh"], f,
+                                           d_pre_c, mm)
+                acc(dparams, "fc_cell_neigh", dp_neigh)
+                # d f/d m_j = w_j (1 + m_j - f) elementwise per channel
+                d_mail_c = d_f[:, None, :] * w * (1.0 + m - f[:, None, :])
         else:
             md_c = b["cell_mail"].shape[1]
             d_mail_c = jnp.zeros((pn_c, md_c, d), g_c.dtype)

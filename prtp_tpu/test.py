@@ -66,24 +66,23 @@ def test(options, designs):
     parsed_all = [_feat_adjusted(load_design_npz(
         os.path.join(options.data_save_path, f"{d}.npz")), options)
         for d in designs]
-    # one padded bucket across designs => a single eval-step compile;
-    # --exact_levels trades that for zero padded compute per design
-    exact = getattr(options, "exact_levels", False)
-    # 0 = auto (pack_design resolves the group count per design)
-    scan_groups = 1 if exact else max(0, getattr(options, "scan_groups", 1))
-    bucket = (None if exact or scan_groups != 1
-              else bucket_shape(parsed_all, map_size=options.map_size))
+    # Eval ALWAYS uses one padded bucket across designs => a single
+    # eval-step compile for the whole corpus. --exact_levels /
+    # --scan_groups are TRAIN-step packings (the level walk runs
+    # thousands of times there); eval runs each design once, where a
+    # per-design-shape packing would pay one multi-minute XLA compile
+    # per design for compute that the padded scan finishes in
+    # milliseconds. Numerically identical (packing equivalence pinned
+    # by test_models / variant goldens).
+    bucket = bucket_shape(parsed_all, map_size=options.map_size)
     want_patches = not options.no_cnn and not options.unet
     first_pack = pack_design(parsed_all[0], map_size=options.map_size,
-                             pad_to=bucket, exact_levels=exact,
-                             scan_groups=scan_groups,
-                             cnn_patches=want_patches)
+                             pad_to=bucket, cnn_patches=want_patches)
     model, state, _config = load_model_state(options, first_pack)
     eval_step = make_eval_step(model, options.task)
 
     for case_idx, (design, parsed) in enumerate(zip(designs, parsed_all)):
         pack = pack_design(parsed, map_size=options.map_size, pad_to=bucket,
-                           exact_levels=exact, scan_groups=scan_groups,
                            cnn_patches=want_patches)
         start_time = time()
         all_ids = np.arange(parsed["num_paths"], dtype=np.int64)

@@ -69,6 +69,11 @@ def validate(options, val_designs, cache_val, eval_step, state):
     n_cases = 0
     print("validate:")
     for case_idx, design in enumerate(val_designs):
+        if case_idx + 1 < len(val_designs):
+            # one-ahead pipeline: pack the next design while the device
+            # evaluates this one
+            nxt = val_designs[case_idx + 1]
+            cache_val.prefetch(nxt, lambda d=nxt: _load("test", options, d))
         pack, parsed = cache_val.get(
             design, lambda d=design: _load("test", options, d))
         ids = np.asarray(parsed["path_ids"], np.int64)
@@ -148,7 +153,28 @@ def train(options, seed):
                            cnn_patches=want_patches)
 
     cache_tr = DesignCache(packer)
-    cache_val = DesignCache(packer)
+    if bucket is None and len(val_designs) > 1:
+        # Validation always packs to ONE bucketed padded-scan shape even
+        # when training uses --exact_levels / --scan_groups: exact and
+        # grouped packings have per-design shapes, so a many-design
+        # corpus would pay one XLA eval compile per design; the padded
+        # scan's extra compute runs once per design per validation while
+        # the saved compiles are minutes each. Numerically identical
+        # (packing-equivalence pinned by test_models / goldens).
+        val_bucket = bucket_shape(
+            [load_design_npz(os.path.join(options.data_save_path,
+                                          f"{d}.npz"))
+             for d in val_designs], map_size=options.map_size)
+
+        def val_packer(parsed):
+            return pack_design(parsed, map_size=options.map_size,
+                               compute_dtype=compute_dtype,
+                               pad_to=val_bucket,
+                               cnn_patches=want_patches)
+
+        cache_val = DesignCache(val_packer)
+    else:
+        cache_val = DesignCache(packer)
 
     merged_pack = merged_universes = None
     if options.merge_designs:
@@ -220,12 +246,17 @@ def train(options, seed):
         design_units = [("+".join(train_designs), True)]
     else:
         design_units = [(d, False) for d in train_designs]
-    # double-buffered input pipeline: validation designs pack in the
-    # background (the reference validates at batch 0, src/train.py:566),
-    # and each upcoming train design prefetches while the current one
-    # trains — host packing overlaps device steps (DesignCache.prefetch)
-    for d in val_designs:
-        cache_val.prefetch(d, lambda d=d: _load("test", options, d))
+    # double-buffered input pipeline: the FIRST validation design packs
+    # in the background (the reference validates at batch 0,
+    # src/train.py:566) and validate() pipelines the rest one-ahead —
+    # prefetching every val design here would move the whole corpus's
+    # HBM residency to step 0 (r3 advisor finding); one-ahead keeps the
+    # host/device overlap while residency grows only as validation
+    # actually reaches each design
+    if val_designs:
+        cache_val.prefetch(
+            val_designs[0],
+            lambda d=val_designs[0]: _load("test", options, d))
     for epoch in range(options.num_epoch):
         for unit_idx, (design, is_merged) in enumerate(design_units):
             if is_merged:

@@ -1,0 +1,241 @@
+"""Train-to-convergence results pack over the BASELINE configs.
+
+Real-ASAP7 raw data does not ship with the reference
+(`/root/reference/src/generate_data.py:25-34` expects an external
+`../rawdata`), so the BASELINE.md parity surface cannot be measured on
+the original corpus in this container. This script produces the
+strongest available substitute: it drives the REAL CLIs
+(`python -m prtp_tpu.train` / `python -m prtp_tpu.test`) end-to-end on
+the synthetic corpus for every BASELINE model configuration —
+
+  reg  fusion (LayoutNet)        reg  GNN-only  (--no_cnn)
+  reg  CNN-only (--no_gnn)       reg  fusion + attention (--attn)
+  reg  fusion + UNet (--unet)    cls  fusion (--task cls --nlabels 2)
+
+— trains each to convergence at fixture scale, and writes RESULTS.md
+(final loss/R2/F1 per config + learning curves) plus the per-config
+`predict.txt` / `visual/*.png` eval artifacts under results/.
+
+Usage:  python scripts/results_pack.py [--work DIR] [--out DIR]
+        [--epochs N]
+
+CPU-forced and axon-free by construction (each CLI runs in a clean
+subprocess), so the pack is reproducible in any container.
+"""
+
+import argparse
+import json
+import os
+import re
+import shutil
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+BASE = ["--cnn_outdim", "8", "--out_dim", "16", "--hidden_dim", "32",
+        "--batch_size", "64", "--learning_rate", "3e-3",
+        "--cell_feat_dim", "13", "--net_feat_dim", "3"]
+
+# (name, corpus, extra CLI flags). Corpus 'L': 2-channel 64px rasters ->
+# LayoutNet's /4 pooling gives 16x16 maps. Corpus 'U': 3-channel 128px
+# rasters -> UNet's /2 gives 64x64 maps (SURVEY §7 raster-size note).
+CONFIGS = [
+    ("reg_fusion", "L", []),
+    ("reg_gnn_only", "L", ["--no_cnn"]),
+    ("reg_cnn_only", "L", ["--no_gnn"]),
+    ("reg_fusion_attn", "L", ["--attn"]),
+    ("reg_fusion_unet", "U", ["--unet"]),
+    ("cls_fusion", "L", ["--task", "cls", "--nlabels", "2"]),
+]
+
+CORPORA = {
+    "L": dict(cnn_channels=2, cnn_hw=64, map_size=16),
+    "U": dict(cnn_channels=3, cnn_hw=128, map_size=64),
+}
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def _env():
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    env["PYTHONPATH"] = REPO  # drop the axon TPU-plugin sitecustomize
+    env["JAX_PLATFORMS"] = "cpu"
+    return env
+
+
+def _run(mod, args, timeout):
+    cmd = [sys.executable, "-m", mod] + args
+    proc = subprocess.run(cmd, env=_env(), cwd=REPO, timeout=timeout,
+                          stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+    if proc.returncode != 0:
+        raise RuntimeError(
+            f"{mod} {' '.join(args)} failed rc={proc.returncode}:\n"
+            + proc.stdout.decode()[-3000:])
+    return proc.stdout.decode()
+
+
+def build_corpus(work, kind):
+    from prtp_tpu.data import synthetic
+    raw = os.path.join(work, f"raw_{kind}")
+    data = os.path.join(work, f"data_{kind}")
+    if os.path.exists(os.path.join(data, "traindata_list.txt")):
+        return data
+    cfg = CORPORA[kind]
+    synthetic.generate_corpus(raw, designs=("syn_a", "syn_b", "syn_c"),
+                              num_paths=10, depth=5,
+                              cnn_channels=cfg["cnn_channels"],
+                              cnn_hw=cfg["cnn_hw"])
+    _run("prtp_tpu.data.generate",
+         ["--rawdata_path", raw, "--data_save_path", data,
+          "--map_size", str(cfg["map_size"])], timeout=600)
+    return data
+
+
+_VAL_RE = re.compile(r"\toverall r2:([-\d.]+), rc:([-\d.]+), F1:([-\d.]+)")
+_BATCH_RE = re.compile(
+    r"e(\d+),\S+,b\d+/\d+, l:([-\d.]+), r2:([-\d.]+), r:[-\d.]+, "
+    r"F1:([-\d.]+)")
+
+
+def parse_curve(stdout_log):
+    """(batch lines, val rows) from a train stdout.log."""
+    with open(stdout_log) as f:
+        text = f.read()
+    batches = [(int(m.group(1)), float(m.group(2)), float(m.group(3)))
+               for m in _BATCH_RE.finditer(text)]
+    vals = [(float(m.group(1)), float(m.group(2)), float(m.group(3)))
+            for m in _VAL_RE.finditer(text)]
+    return batches, vals
+
+
+def run_config(name, data, map_size, extra, epochs, out_root):
+    mdl = os.path.join(out_root, name)
+    shutil.rmtree(mdl, ignore_errors=True)
+    args = (["--data_save_path", data, "--model_saving_dir", mdl,
+             "--map_size", str(map_size), "--num_epoch", str(epochs),
+             "--val_interval", "50"] + BASE + extra)
+    t0 = time.time()
+    log(f"--- {name}: train ({epochs} epochs)")
+    _run("prtp_tpu.train", args, timeout=3600)
+    t_train = time.time() - t0
+    t0 = time.time()
+    log(f"--- {name}: eval")
+    _run("prtp_tpu.test", args, timeout=1200)
+    t_eval = time.time() - t0
+
+    batches, vals = parse_curve(os.path.join(mdl, "stdout.log"))
+    with open(os.path.join(mdl, "predict.txt")) as f:
+        final = [float(x) for x in f.read().strip().splitlines()[-1].split()]
+    return dict(name=name, flags=" ".join(extra) or "(default)",
+                steps=len(batches), train_s=round(t_train, 1),
+                eval_s=round(t_eval, 1),
+                first_loss=batches[0][1] if batches else None,
+                last_loss=batches[-1][1] if batches else None,
+                curve=vals,
+                final=dict(zip(
+                    ("loss", "r2", "acc", "recall", "precision", "f1"),
+                    final)),
+                model_dir=mdl)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--work", default="/tmp/prtp_results_work")
+    ap.add_argument("--out", default=os.path.join(REPO, "results"))
+    ap.add_argument("--epochs", type=int, default=150)
+    ap.add_argument("--configs", nargs="+", default=None,
+                    help="subset of config names to run")
+    args = ap.parse_args()
+    os.makedirs(args.work, exist_ok=True)
+    os.makedirs(args.out, exist_ok=True)
+    sys.path.insert(0, REPO)
+
+    rows = []
+    for name, kind, extra in CONFIGS:
+        if args.configs and name not in args.configs:
+            continue
+        data = build_corpus(args.work, kind)
+        r = run_config(name, data, CORPORA[kind]["map_size"], extra,
+                       args.epochs, args.work)
+        rows.append(r)
+        # keep the citable eval artifacts
+        keep = os.path.join(args.out, name)
+        shutil.rmtree(keep, ignore_errors=True)
+        os.makedirs(keep, exist_ok=True)
+        for art in ("predict.txt", "config.json"):
+            src = os.path.join(r["model_dir"], art)
+            if os.path.exists(src):
+                shutil.copy(src, keep)
+        vis = os.path.join(r["model_dir"], "visual")
+        if os.path.isdir(vis):
+            shutil.copytree(vis, os.path.join(keep, "visual"))
+        log(f"--- {name}: final {r['final']}")
+
+    write_results_md(args.out, rows, args.epochs)
+    print(json.dumps({r["name"]: r["final"] for r in rows}, indent=1))
+
+
+def write_results_md(out, rows, epochs):
+    lines = [
+        "# RESULTS — train-to-convergence pack (synthetic corpus)",
+        "",
+        "Produced by `python scripts/results_pack.py` driving the REAL",
+        "CLIs (`python -m prtp_tpu.train` / `python -m prtp_tpu.test`)",
+        "on the synthetic 3-design corpus (`prtp_tpu.data.synthetic`,",
+        "the exact raw layout the reference's `generate_data.py`",
+        f"expects), {epochs} epochs per config, CPU-forced subprocesses.",
+        "Real-ASAP7 raw data does not ship with the reference",
+        "(`src/generate_data.py:25-34`), so this pack is the committed",
+        "substitute for BASELINE.md's run-both-stacks parity table;",
+        "eval artifacts (predict.txt, visual/*.png, config.json) are",
+        "committed next to this file, one directory per config.",
+        "",
+        "## Final eval metrics (predict.txt row per config)",
+        "",
+        "| config | flags | loss | R2 | acc | recall | precision | F1 |",
+        "|---|---|---|---|---|---|---|---|",
+    ]
+    for r in rows:
+        f = r["final"]
+        lines.append(
+            f"| {r['name']} | `{r['flags']}` | {f['loss']:.3f} | "
+            f"{f['r2']:.3f} | {f['acc']:.3f} | {f['recall']:.3f} | "
+            f"{f['precision']:.3f} | {f['f1']:.3f} |")
+    lines += [
+        "",
+        "## Learning curves (validation `overall` rows, in order)",
+        "",
+        "Each validation fires every 50 train batches (`--val_interval",
+        "50`), reference cadence `src/train.py:566-568`. Rows are",
+        "(R2, recall, F1) averaged over the 3 designs' val splits.",
+        "",
+    ]
+    for r in rows:
+        lines.append(f"### {r['name']}  (`{r['flags']}`)")
+        lines.append("")
+        lines.append(f"- train: {r['steps']} batches in {r['train_s']}s; "
+                     f"per-batch loss {r['first_loss']:.3f} -> "
+                     f"{r['last_loss']:.3f}; eval {r['eval_s']}s")
+        lines.append("")
+        lines.append("| val # | R2 | recall | F1 |")
+        lines.append("|---|---|---|---|")
+        curve = r["curve"]
+        # subsample long curves: first 3, every 5th, last 3
+        idx = sorted(set(list(range(min(3, len(curve))))
+                         + list(range(0, len(curve), 5))
+                         + list(range(max(0, len(curve) - 3), len(curve)))))
+        for i in idx:
+            v = curve[i]
+            lines.append(f"| {i} | {v[0]:.3f} | {v[1]:.3f} | {v[2]:.3f} |")
+        lines.append("")
+    with open(os.path.join(out, "RESULTS.md"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+    log(f"wrote {os.path.join(out, 'RESULTS.md')}")
+
+
+if __name__ == "__main__":
+    main()

@@ -57,3 +57,29 @@ def test_bench_main_prints_one_json_line():
     for key in ("flops_per_step", "hbm_bytes_per_step", "achieved_tflops",
                 "chip", "peak_tflops_bf16", "mfu"):
         assert key in d
+    # bf16 is the headline default (r4); the f32 A/B lands in detail
+    assert d["compute_dtype"] == "bfloat16"
+    assert d["headline_f32_steps_per_sec"] > 0
+    assert d["tunnel_probe"]["ok"] is True
+    assert d["tunnel_probe"]["attempts"] >= 1
+
+
+def test_bench_probe_gate_nulls_round_without_burning_points():
+    """A dead device must fail the round at the cheap probe, never at a
+    point-timeout (round-3 failure mode: probe said dead at 08:28, then
+    900+450+300 s of headline timeouts burned anyway)."""
+    env = _clean_env()
+    env["JAX_PLATFORMS"] = "tpu"  # no TPU here: every child fails fast
+    env["BENCH_TIME_BUDGET"] = "60"  # too small for a probe retry sleep
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        timeout=300, cwd=REPO)
+    assert proc.returncode == 0, proc.stderr.decode()[-2000:]
+    result = json.loads(proc.stdout.decode().strip().splitlines()[-1])
+    assert result["value"] is None
+    assert "probe-gated" in result["detail"]["error"]
+    assert result["detail"]["tunnel_probe"]["ok"] is False
+    assert result["detail"]["tunnel_probe"]["attempts"] >= 1
+    # the gate held: no expensive point was ever attempted
+    assert b"--- headline point" not in proc.stderr

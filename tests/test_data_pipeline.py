@@ -115,11 +115,16 @@ def test_report_parser_states_and_paths(corpus):
 
 # --------------------------------------------------------- graph build
 
-def test_netlist_builder_structure(corpus):
+def test_netlist_builder_structure(corpus, capsys):
     cell_info_map, cell_info_map2, early_lib, ctype2id = load_libs(corpus)
     b = NetlistBuilder(resolve_top_module(corpus, "syn_a"), "critical",
                        cell_info_map2, early_lib)
     result = b.parse(os.path.join(corpus, "syn_a"))
+    # per-stage preprocess wall-clock logs (the reference's observability
+    # surface, verilog_parser_asap7.py:1222-1224,1262-1264)
+    out = capsys.readouterr().out
+    assert "Graph successfully built" in out
+    assert "num topological level" in out
     levels = result["topo_levels"]
     # level 0 = PIs only
     assert set(levels[0][0]) == set(result["PIs"])

@@ -76,6 +76,50 @@ def test_fused_matches_autodiff(dgl_parity):
             err_msg=f"param grad mismatch at {jax.tree_util.keystr(path)}")
 
 
+@pytest.mark.parametrize("num_heads", [1, 2])
+def test_fused_attn_matches_autodiff(num_heads):
+    """--attn on the exact path runs through the fused VJP too (r4):
+    forward + param grads — including fc_attn2's score projection —
+    must match autodiff exactly."""
+    rng = np.random.default_rng(13)
+    parsed = _design(rng)
+    design = pack_design(parsed, map_size=16, exact_levels=True)
+    g = design.graph
+
+    def build(fused):
+        return TimeGNN(out_dim=16, hidden_dim=32, flag_attn=True,
+                       num_heads=num_heads, fused_vjp=fused)
+
+    v = build(False).init(jax.random.PRNGKey(0), g)
+    leaves, treedef = jax.tree_util.tree_flatten(v)
+    keys = jax.random.split(jax.random.PRNGKey(5), len(leaves))
+    v = jax.tree_util.tree_unflatten(
+        treedef, [l + 0.1 * jax.random.normal(k, l.shape, l.dtype)
+                  for l, k in zip(leaves, keys)])
+
+    h_ref = np.asarray(build(False).apply(v, g))
+    h_fused = np.asarray(build(True).apply(v, g))
+    np.testing.assert_allclose(h_fused, h_ref, rtol=1e-5, atol=1e-5)
+
+    ep = design.path_endpoint
+    tgt = design.arrival_time[ep]
+
+    def loss(variables, fused):
+        h = build(fused).apply(variables, g)
+        return ((h[ep].sum(axis=1) - tgt) ** 2).mean()
+
+    l_ref, g_ref = jax.value_and_grad(lambda p: loss(p, False))(v)
+    l_fused, g_fused = jax.value_and_grad(lambda p: loss(p, True))(v)
+    np.testing.assert_allclose(float(l_fused), float(l_ref), rtol=1e-6)
+    flat_ref = jax.tree_util.tree_leaves_with_path(g_ref)
+    flat_fused = jax.tree_util.tree_leaves(g_fused)
+    assert len(flat_ref) == len(flat_fused)
+    for (path, a), b in zip(flat_ref, flat_fused):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=2e-4, atol=1e-5,
+            err_msg=f"param grad mismatch at {jax.tree_util.keystr(path)}")
+
+
 def test_fused_h0_cotangent():
     rng = np.random.default_rng(7)
     parsed = _design(rng, level_sizes=(4, 6, 5, 7))

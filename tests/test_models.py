@@ -122,13 +122,16 @@ def test_layoutnet_static_patches_matches_conv():
     x = jnp.asarray(rng.standard_normal((1, 16, 16, 2)), jnp.float32)
     net = LayoutNet()
     v = net.init(jax.random.PRNGKey(3), x)
-    pat = make_cnn_patches(x, k=9)
+    pat = make_cnn_patches(x, k=9)  # f32 by default since r4: exact
     y_conv = net.apply(v, x)
     y_pat = net.apply(v, x, patches=pat)
-    # the patch table is stored bf16 (TPU-native conv product precision)
-    # so CPU comparison against the exact-f32 conv carries bf16 input
-    # rounding (~0.4% relative)
     np.testing.assert_allclose(np.asarray(y_conv), np.asarray(y_pat),
+                               rtol=1e-4, atol=1e-4)
+    # the bf16 table (what --compute_dtype bfloat16 packs) carries bf16
+    # input rounding (~0.4% relative)
+    y_bf16 = net.apply(v, x, patches=make_cnn_patches(
+        x, k=9, dtype=jnp.bfloat16))
+    np.testing.assert_allclose(np.asarray(y_conv), np.asarray(y_bf16),
                                rtol=2e-2, atol=2e-2)
 
     def loss(v, use_pat):
@@ -142,7 +145,7 @@ def test_layoutnet_static_patches_matches_conv():
         denom = max(1.0, float(np.abs(np.asarray(a)).max()))
         np.testing.assert_allclose(np.asarray(a) / denom,
                                    np.asarray(b) / denom,
-                                   rtol=3e-2, atol=3e-2)
+                                   rtol=1e-4, atol=1e-4)
 
 
 def test_pathmodel_without_patches_matches_with():
@@ -159,8 +162,9 @@ def test_pathmodel_without_patches_matches_with():
     v = model.init(jax.random.PRNGKey(0), d_pat, path_ids)
     out1 = model.apply(v, d_pat, path_ids)
     out2 = model.apply(v, d_conv, path_ids)
+    # f32 patch table (the default) is the exact conv math
     np.testing.assert_allclose(np.asarray(out1), np.asarray(out2),
-                               rtol=2e-2, atol=2e-2)
+                               rtol=1e-4, atol=1e-4)
 
 
 def test_pathmodel_scan_groups_matches_default():

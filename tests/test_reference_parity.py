@@ -58,10 +58,10 @@ def model_and_params(parsed):
     from prtp_tpu.graph import pack_design
     from prtp_tpu.models import PathModel
 
-    design = pack_design(parsed, map_size=MAP_SIZE, align=8,
-                         cnn_patches=False)  # exact-f32 conv path
-    # (the bf16 im2col fast path is tied to this exact path by
-    # test_models.test_layoutnet_static_patches_matches_conv)
+    # DEFAULT config: the im2col patch table is stored in the compute
+    # dtype (f32 here) since round 4, so the default fast path is exact
+    # and the parity anchor covers it directly (r3 advisor finding).
+    design = pack_design(parsed, map_size=MAP_SIZE, align=8)
     model = PathModel(**MODEL_KW)
     pids = jnp.arange(design.num_paths, dtype=jnp.int32)
     variables = model.init(jax.random.PRNGKey(0), design, pids)

@@ -38,10 +38,10 @@ def _build(parsed, **model_kw):
     from prtp_tpu.graph import pack_design
     from prtp_tpu.models import PathModel
 
+    # goldens were frozen on the plain-conv path; the default im2col
+    # path is covered by test_reference_parity (exact in f32 since r4)
     design = pack_design(parsed, map_size=MAP_SIZE, align=8,
-                         cnn_patches=False)  # exact-f32 conv path
-    # (the bf16 im2col fast path is tied to this exact path by
-    # test_models.test_layoutnet_static_patches_matches_conv)
+                         cnn_patches=False)
     model = PathModel(**model_kw)
     pids = jnp.arange(design.num_paths, dtype=jnp.int32)
     variables = model.init(jax.random.PRNGKey(0), design, pids)
