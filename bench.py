@@ -49,6 +49,8 @@ BIG_NODES = _env("BIG_NODES", 300_000)
 BIG_LEVELS = _env("BIG_LEVELS", 26)
 # grouped-scan group count (BENCH_*_PACKING=grouped points)
 SCAN_GROUPS = _env("SCAN_GROUPS", 6)
+# lax.scan unroll over level pairs (0 = fully unroll, like --gnn_unroll)
+GNN_UNROLL = _env("GNN_UNROLL", 1)
 # third bench point: merged super-graph multi-design training (TPU only)
 MERGED_K = _env("MERGED_K", 8)
 MERGED_NODES = _env("MERGED_NODES", 20_000)
@@ -148,6 +150,7 @@ def build_point_step(parsed, packing):
         f"packing={packing}")
     model = PathModel(out_dim=OUT_DIM, hidden_dim=HIDDEN,
                       cnn_outdim=OUT_DIM, map_size=MAP_SIZE,
+                      gnn_unroll=(True if GNN_UNROLL == 0 else GNN_UNROLL),
                       compute_dtype=(jnp.bfloat16 if dtype == jnp.bfloat16
                                      else None))
     tx = make_optimizer(1e-3)
@@ -455,6 +458,7 @@ def _child_point(point):
         out.update(
             tpu_sps=tpu_sps, num_paths=int(num_paths), batch=int(batch),
             inf_dps=inf_dps, xla_flops=xla_flops, packing=packing,
+            gnn_unroll=GNN_UNROLL,
             dtype=os.environ.get("BENCH_DTYPE", "float32"),
             device_kind=jax.devices()[0].device_kind,
             nodes=int(parsed["num_nodes"]),

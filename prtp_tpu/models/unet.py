@@ -30,15 +30,21 @@ class DoubleConv(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        # momentum 0.9 = torch BatchNorm2d's default (its momentum=0.1
+        # weights the NEW batch; flax weights the running average) —
+        # flax's 0.99 default adapts running stats 10x slower than the
+        # reference's nn.BatchNorm2d (src/Unet.py:17,20), which left
+        # eval-mode stats lagging far behind train stats on small
+        # corpora.
         mid = self.mid_channels or self.out_channels
         x = nn.Conv(mid, (3, 3), padding="SAME", use_bias=False,
                     dtype=self.dtype)(x)
-        x = nn.BatchNorm(use_running_average=not train,
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          dtype=self.dtype)(x)
         x = jax.nn.relu(x)
         x = nn.Conv(self.out_channels, (3, 3), padding="SAME",
                     use_bias=False, dtype=self.dtype)(x)
-        x = nn.BatchNorm(use_running_average=not train,
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          dtype=self.dtype)(x)
         x = jax.nn.relu(x)
         return x

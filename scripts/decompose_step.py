@@ -114,18 +114,25 @@ def main():
     from prtp_tpu.utils.cache import enable_compile_cache
     enable_compile_cache()
     import jax
+    import jax.numpy as jnp
     from prtp_tpu.data.random_design import (bench_level_sizes,
                                              make_random_design)
     from prtp_tpu.graph import pack_design
     from prtp_tpu.models import PathModel
 
+    # honor the bench's dtype contract (bf16 is the r4 headline default)
+    dtype = (jnp.bfloat16 if os.environ.get("BENCH_DTYPE") == "bfloat16"
+             else jnp.float32)
     sizes = bench_level_sizes(NODES, LEVELS, decay=0.8)
     parsed = make_random_design(
         sizes, cell_feat_dim=36, net_feat_dim=3, map_size=MAP_SIZE,
         cnn_hw=CNN_HW, mask_nnz_per_path=96, seed=7)
-    design = pack_design(parsed, map_size=MAP_SIZE, exact_levels=True)
+    design = pack_design(parsed, map_size=MAP_SIZE, exact_levels=True,
+                         compute_dtype=dtype)
     kw = dict(out_dim=128, hidden_dim=256, cnn_outdim=128,
-              map_size=MAP_SIZE)
+              map_size=MAP_SIZE,
+              compute_dtype=(jnp.bfloat16 if dtype == jnp.bfloat16
+                             else None))
 
     rows = []
     full = measure(PathModel(**kw), design, "full (GNN+CNN+fusion)", rows)
@@ -141,7 +148,8 @@ def main():
         f"Workload: {parsed['num_nodes']} nodes / {LEVELS} levels "
         f"(front-loaded, decay 0.8), batch {min(BATCH, design.num_paths)}, "
         f"raster {CNN_HW}x{CNN_HW}x2, exact-levels packing, "
-        f"{STEPS}-step fused dispatch.",
+        f"{STEPS}-step fused dispatch, compute dtype "
+        f"{jnp.dtype(dtype).name}.",
         f"Device: {dev.device_kind} ({jax.default_backend()}). "
         f"Generated by `python scripts/decompose_step.py`.",
         "",

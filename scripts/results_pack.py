@@ -85,8 +85,13 @@ def build_corpus(work, kind):
     if os.path.exists(os.path.join(data, "traindata_list.txt")):
         return data
     cfg = CORPORA[kind]
+    # >= 30 paths/design: every 3rd synthetic path is critical and the
+    # val split takes 1/5 of each class — fewer paths would leave val
+    # with ZERO criticals, making the cls task's best-F1 checkpoint
+    # gate unreachable (F1 stays 0 over an all-negative split, so the
+    # saved model would remain the init state)
     synthetic.generate_corpus(raw, designs=("syn_a", "syn_b", "syn_c"),
-                              num_paths=10, depth=5,
+                              num_paths=30, depth=5,
                               cnn_channels=cfg["cnn_channels"],
                               cnn_hw=cfg["cnn_hw"])
     _run("prtp_tpu.data.generate",
