@@ -82,6 +82,34 @@ def test_unet_branch_with_batchnorm(data_dir):
     assert any(float(np.abs(np.asarray(s)).sum()) > 0 for s in stats)
 
 
+def test_unet_batchnorm_momentum_torch_parity():
+    """BN running stats must update at torch BatchNorm2d's default rate
+    (torch momentum=0.1 weights the NEW batch == flax momentum 0.9).
+    Applying the SAME input twice from zero-init stats gives
+    ra1 = 0.1*mu and ra2 = 0.9*ra1 + 0.1*mu = 0.19*mu, so the ratio
+    ra2/ra1 is exactly 1.9 — flax's 0.99 default would give 1.99
+    (10x slower adaptation; the reference's eval-mode stats would lag
+    far behind, src/Unet.py:17,20)."""
+    from prtp_tpu.models.unet import DoubleConv
+
+    rng = np.random.default_rng(5)
+    x = np.asarray(rng.standard_normal((1, 8, 8, 3)), np.float32)
+    m = DoubleConv(4)
+    v = m.init(jax.random.PRNGKey(0), x, train=True)
+    _, upd1 = m.apply(v, x, train=True, mutable=["batch_stats"])
+    v2 = {"params": v["params"], "batch_stats": upd1["batch_stats"]}
+    _, upd2 = m.apply(v2, x, train=True, mutable=["batch_stats"])
+    def means(tree):  # 'var' leaves init at 1.0, not 0 — means only
+        return np.concatenate(
+            [np.asarray(leaf).ravel()
+             for path, leaf in jax.tree_util.tree_leaves_with_path(tree)
+             if "mean" in jax.tree_util.keystr(path)])
+
+    ra1, ra2 = means(upd1["batch_stats"]), means(upd2["batch_stats"])
+    sel = np.abs(ra1) > 1e-5 * np.abs(ra1).max()
+    np.testing.assert_allclose(ra2[sel] / ra1[sel], 1.9, rtol=1e-3)
+
+
 def test_unet_avg_pooling(data_dir):
     options = _opts(["--unet", "--pooling", "avg"])
     losses, _p, _m, _s = _run_steps(options, data_dir, n_steps=2)
