@@ -40,6 +40,13 @@ def test_mesh_has_8_devices():
 
 
 def test_dp_step_matches_single_chip(setup):
+    """Loss equality through the real Adam step, then GRADIENT equality
+    via an SGD(lr=1) step diff — same recipe as the multichip dryrun.
+    (Comparing Adam-updated params directly is brittle: m/sqrt(v)
+    amplifies f32 psum reduction-order noise on any near-cancelled
+    gradient into O(lr) on that one param; observed tripping a 2e-5
+    atol on 1 of 100k params.)"""
+    import optax
     model, tx, state, design, ids, mask = setup
     mesh = make_mesh(8)
 
@@ -49,13 +56,22 @@ def test_dp_step_matches_single_chip(setup):
     dp = make_dp_train_step(model, tx, mesh, donate=False)
     dids, dmask = shard_batch(mesh, ids, mask)
     s2, m2 = dp(state, design, dids, dmask)
-
     np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
                                rtol=1e-5)
-    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
-                    jax.tree_util.tree_leaves(s2.params)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=2e-4, atol=2e-5)
+
+    sgd = optax.sgd(1.0)
+    sgd_state = init_state(model, sgd, design, jax.random.PRNGKey(0))
+    g1 = make_train_step(model, sgd, donate=False)(
+        sgd_state, design, ids, mask)[0].params
+    g2 = make_dp_train_step(model, sgd, mesh, donate=False)(
+        sgd_state, design, dids, dmask)[0].params
+    for p0, a, b in zip(jax.tree_util.tree_leaves(sgd_state.params),
+                        jax.tree_util.tree_leaves(g1),
+                        jax.tree_util.tree_leaves(g2)):
+        p0 = np.asarray(p0, np.float64)
+        ga, gb = p0 - np.asarray(a, np.float64), p0 - np.asarray(b, np.float64)
+        scale = float(np.max(np.abs(ga))) or 1.0
+        np.testing.assert_allclose(gb, ga, rtol=1e-3, atol=1e-4 * scale)
 
 
 def test_shard_map_step_matches_single_chip(setup):
