@@ -153,7 +153,10 @@ def build_point_step(parsed, packing):
                       gnn_unroll=(True if GNN_UNROLL == 0 else GNN_UNROLL),
                       compute_dtype=(jnp.bfloat16 if dtype == jnp.bfloat16
                                      else None))
-    tx = make_optimizer(1e-3)
+    # flat Adam by default: ONE fused update kernel instead of one per
+    # param leaf (identical math; the per-leaf chain profiled ~1.6 ms of
+    # the 13.9 ms launch-bound step). BENCH_FLAT_ADAM=0 is the A/B.
+    tx = make_optimizer(1e-3, flat=_env("FLAT_ADAM", 1) == 1)
     # init on a TINY proxy design: the param tree depends only on the
     # feature dims / map size, not on level count or graph size, and the
     # init compile of the big unrolled graph costs minutes on this host
@@ -245,17 +248,20 @@ def bench_tpu(parsed, inference=True, trials=3, packing="exact"):
     return best, design.num_paths, batch, inf_dps, xla_flops
 
 
-def bench_merged(k=MERGED_K, nodes=MERGED_NODES, levels=MERGED_LEVELS,
-                 trials=2, packing="exact"):
-    """K-design merged super-graph training throughput (design-steps/s).
+def build_merged_step(k=MERGED_K, nodes=MERGED_NODES, levels=MERGED_LEVELS,
+                      packing="exact"):
+    """Shared construction of the merged point's step + inputs.
 
-    `graph.merge_parsed_designs` unions K designs' levels into one
-    disjoint DAG: one shared level scan propagates all K designs with
-    contiguous writes and KX wider MXU blocks — training K designs
-    merged is faster per design than one at a time (the per-level
-    dispatch floor amortizes over K)."""
+    Like ``build_point_step``, this is ALSO imported by
+    scripts/warm_cache.py: every shape/seed/arg that affects the
+    compiled HLO (and therefore the persistent-cache key) lives here.
+
+    Returns (design, state, step, ids, mask).
+    """
     import jax
     import jax.numpy as jnp
+    from prtp_tpu.utils.cache import enable_compile_cache
+    enable_compile_cache()
     from prtp_tpu.data.random_design import bench_level_sizes, make_random_design
     from prtp_tpu.graph import merge_parsed_designs, pack_design
     from prtp_tpu.models import PathModel
@@ -281,10 +287,9 @@ def bench_merged(k=MERGED_K, nodes=MERGED_NODES, levels=MERGED_LEVELS,
                       cnn_outdim=OUT_DIM, map_size=MAP_SIZE,
                       compute_dtype=(jnp.bfloat16 if dtype == jnp.bfloat16
                                      else None))
-    tx = make_optimizer(1e-3)
+    tx = make_optimizer(1e-3, flat=_env("FLAT_ADAM", 1) == 1)
     state = init_state(model, tx, design, jax.random.PRNGKey(0))
-    inner = TPU_STEPS
-    step = make_multi_train_step(model, tx, inner, "reg")
+    step = make_multi_train_step(model, tx, TPU_STEPS, "reg")
     b = 256
     rng = np.random.default_rng(0)
     ids = np.zeros((k, b), np.int32)
@@ -294,7 +299,21 @@ def bench_merged(k=MERGED_K, nodes=MERGED_NODES, levels=MERGED_LEVELS,
         take = uni[rng.permutation(len(uni))[:b]]
         ids[i, :len(take)] = take
         mask[i, :len(take)] = 1.0
-    ids, mask = jnp.asarray(ids), jnp.asarray(mask)
+    return design, state, step, jnp.asarray(ids), jnp.asarray(mask)
+
+
+def bench_merged(k=MERGED_K, trials=2, packing="exact"):
+    """K-design merged super-graph training throughput (design-steps/s).
+
+    `graph.merge_parsed_designs` unions K designs' levels into one
+    disjoint DAG: one shared level scan propagates all K designs with
+    contiguous writes and KX wider MXU blocks — training K designs
+    merged is faster per design than one at a time (the per-level
+    dispatch floor amortizes over K)."""
+    import jax
+
+    design, state, step, ids, mask = build_merged_step(k=k, packing=packing)
+    inner = TPU_STEPS
     t0 = time.time()
     state, mets = step(state, design, ids, mask)
     jax.block_until_ready(mets["loss"])
@@ -306,7 +325,17 @@ def bench_merged(k=MERGED_K, nodes=MERGED_NODES, levels=MERGED_LEVELS,
         jax.block_until_ready(mets["loss"])
         best = max(best, inner / (time.time() - t0))
     log(f"merged-{k}: {best:.2f} steps/s = {k * best:.1f} design-steps/s")
-    return best
+    xla_flops = None
+    try:
+        ca = step.lower(state, design, ids, mask).compile().cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        if ca and ca.get("flops"):
+            xla_flops = float(ca["flops"])
+            log(f"merged xla cost_analysis: {xla_flops / 1e9:.2f} "
+                f"GFLOP/step -> {xla_flops * best / 1e12:.2f} TFLOP/s")
+    except Exception as e:
+        log(f"merged cost_analysis unavailable: {e}")
+    return best, xla_flops
 
 
 def bench_torch_cpu(parsed):
@@ -459,6 +488,7 @@ def _child_point(point):
             tpu_sps=tpu_sps, num_paths=int(num_paths), batch=int(batch),
             inf_dps=inf_dps, xla_flops=xla_flops, packing=packing,
             gnn_unroll=GNN_UNROLL,
+            flat_adam=_env("FLAT_ADAM", 1) == 1,
             dtype=os.environ.get("BENCH_DTYPE", "float32"),
             device_kind=jax.devices()[0].device_kind,
             nodes=int(parsed["num_nodes"]),
@@ -466,7 +496,8 @@ def _child_point(point):
                       + len(parsed["net_edges"][0])))
     elif point == "merged":
         packing = os.environ.get("BENCH_MERGED_PACKING", "exact")
-        out["merged_sps"] = bench_merged(packing=packing)
+        out["merged_sps"], out["merged_xla_flops"] = bench_merged(
+            packing=packing)
         out["packing"] = packing
     elif point == "big":
         packing = os.environ.get("BENCH_BIG_PACKING", "exact")
@@ -613,6 +644,7 @@ def main():
             "merged", timeout=max(120.0, min(600.0, remaining())),
             extra_env={"BENCH_MERGED_PACKING": "grouped"})
     merged_sps = merged["merged_sps"] if merged else None
+    merged_xla_flops = merged.get("merged_xla_flops") if merged else None
     if merged is None:
         log(f"merged-{MERGED_K} point: null")
 
@@ -707,6 +739,14 @@ def main():
                 "steps_per_sec": round(merged_sps, 2) if merged_sps else None,
                 "design_steps_per_sec": (round(MERGED_K * merged_sps, 1)
                                          if merged_sps else None),
+                # utilization of the K-wide step — the merged layout is
+                # where the launch-bound floor amortizes, so its MFU is
+                # the framework's achievable-utilization figure
+                "achieved_tflops": (
+                    round(merged_xla_flops * merged_sps / 1e12, 3)
+                    if merged_sps and merged_xla_flops else None),
+                "mfu": (round(merged_xla_flops * merged_sps / 1e12 / pt, 4)
+                        if merged_sps and merged_xla_flops and pt else None),
             },
             "big_design": {
                 "nodes": big["nodes"] if big else BIG_NODES,

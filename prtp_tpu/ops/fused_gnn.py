@@ -50,8 +50,12 @@ def _mlp(p, x, mm_dtype=None):
             + p["fc1"]["bias"])
 
 
-def _mlp_grads(p, x, d_out, mm_dtype=None):
-    """Param grads + input cotangent for _mlp; recomputes the hidden."""
+def _mlp_grads(p, x, d_out, mm_dtype=None, need_dx=True):
+    """Param grads + input cotangent for _mlp; recomputes the hidden.
+
+    ``need_dx=False`` skips the input-cotangent matmul — the self-MLPs'
+    inputs are static feature tables (data, not functions of params),
+    so their dx is never consumed."""
     a = _mm(x, p["fc0"]["kernel"], mm_dtype) + p["fc0"]["bias"]
     r = jax.nn.relu(a)
     d_r = _mm(d_out, p["fc1"]["kernel"].T, mm_dtype)
@@ -61,7 +65,7 @@ def _mlp_grads(p, x, d_out, mm_dtype=None):
         "fc1": {"kernel": _mm(r.T, d_out, mm_dtype),
                 "bias": d_out.sum(0)},
     }
-    d_x = _mm(d_a, p["fc0"]["kernel"].T, mm_dtype)
+    d_x = _mm(d_a, p["fc0"]["kernel"].T, mm_dtype) if need_dx else None
     return dp, d_x
 
 
@@ -150,6 +154,19 @@ def _forward_impl(config, params, h0, blocks):
     num_rows, dgl_parity, cell_off, net_off, mm, nh = _unpack_config(config)
     h = h0
     d = h.shape[1]
+    # HOISTED self-MLPs: fc_cell_self/fc_net_self read only the static
+    # feature tables (never h), so the whole walk's worth runs as ONE
+    # large matmul pair per etype before the level loop — on the
+    # launch-bound target chip this removes 4 small matmul regions per
+    # level pair. Row-batching an X@W changes nothing per row, so the
+    # per-level slices below are bit-identical to the per-level matmuls.
+    pre_cell_all = _mlp(params["fc_cell_self"],
+                        jnp.concatenate([b["cell_feat"] for b in blocks],
+                                        axis=0), mm)
+    pre_net_all = _mlp(params["fc_net_self"],
+                       jnp.concatenate([b["net_feat"] for b in blocks],
+                                       axis=0), mm)
+    oc = on = 0
     for k, b in enumerate(blocks):
         pn_c, md_c = b["cell_mail"].shape
         # ---- one global gather for both halves ----
@@ -159,7 +176,8 @@ def _forward_impl(config, params, h0, blocks):
             gat = None
         # ---- cell half (even level 2k) ----
         valid = (b["cell_mail"] != num_rows)[..., None]
-        pre = _mlp(params["fc_cell_self"], b["cell_feat"], mm)
+        pre = pre_cell_all[oc: oc + pn_c]
+        oc += pn_c
         if k > 0:  # level 0 drops the neighbor term
             m_c = gat[: pn_c * md_c].reshape(pn_c, md_c, d)
             if nh:
@@ -184,7 +202,9 @@ def _forward_impl(config, params, h0, blocks):
             [new, prior, jnp.zeros((1, d), h.dtype)], axis=0)
         m_n = buf[b["net_local_idx"]]  # (pn_n, md_n, D) local gather
         neigh_n, _cnt = _mean_sum(m_n, validn)
-        pre_n = _mlp(params["fc_net_self"], b["net_feat"], mm) + neigh_n
+        pn_n = b["net_feat"].shape[0]
+        pre_n = pre_net_all[on: on + pn_n] + neigh_n
+        on += pn_n
         new_n = jax.nn.relu(pre_n)
         if dgl_parity:
             hasn = validn.any(axis=1)
@@ -219,6 +239,13 @@ def _bwd(config, res, g):
     d = hf.shape[1]
     dh = g
     dparams = jax.tree_util.tree_map(jnp.zeros_like, params)
+    # self-MLP wgrads are DEFERRED: the walk only produces each pair's
+    # d_pre cotangent; one batched _mlp_grads over the concatenated
+    # feature tables runs after the loop (mirrors the hoisted forward —
+    # 4 small matmuls + 4 accumulation adds per pair become 4 matmuls
+    # total).
+    d_pre_cs = [None] * len(blocks)
+    d_pre_ns = [None] * len(blocks)
 
     def acc(tree, key, dp):
         tree[key] = jax.tree_util.tree_map(jnp.add, tree[key], dp)
@@ -240,9 +267,7 @@ def _bwd(config, res, g):
         else:
             d_pre_n = g_n * posn
             d_old_n = jnp.zeros_like(g_n)
-        dp_net, _dx = _mlp_grads(params["fc_net_self"], b["net_feat"],
-                                 d_pre_n, mm)
-        acc(dparams, "fc_net_self", dp_net)
+        d_pre_ns[k] = d_pre_n
         cnt = jnp.maximum(validn.sum(axis=1).astype(g_n.dtype), 1.0)
         d_mail_n = jnp.where(validn, (d_pre_n / cnt)[:, None, :], 0.0)
 
@@ -265,9 +290,7 @@ def _bwd(config, res, g):
         else:
             d_pre_c = g_c * posc
             d_old_c = jnp.zeros_like(g_c)
-        dp_self, _dx = _mlp_grads(params["fc_cell_self"], b["cell_feat"],
-                                  d_pre_c, mm)
-        acc(dparams, "fc_cell_self", dp_self)
+        d_pre_cs[k] = d_pre_c
         if k > 0:
             m = hf[b["cell_mail"]]
             if nh:
@@ -303,6 +326,18 @@ def _bwd(config, res, g):
             dh = dh.at[b["merged_rows"]].add(
                 uniq.astype(dh.dtype),
                 indices_are_sorted=True, unique_indices=True)
+
+    # deferred self-MLP wgrads: one batched matmul pass per etype over
+    # the concatenated tables (level order matches the hoisted forward);
+    # dx is never consumed (features are data), so skip its matmul.
+    dparams["fc_cell_self"], _ = _mlp_grads(
+        params["fc_cell_self"],
+        jnp.concatenate([b["cell_feat"] for b in blocks], axis=0),
+        jnp.concatenate(d_pre_cs, axis=0), mm, need_dx=False)
+    dparams["fc_net_self"], _ = _mlp_grads(
+        params["fc_net_self"],
+        jnp.concatenate([b["net_feat"] for b in blocks], axis=0),
+        jnp.concatenate(d_pre_ns, axis=0), mm, need_dx=False)
 
     return dparams, dh, None
 

@@ -156,6 +156,14 @@ def get_options(args=None):
                           "of exact automatically. Disables cross-design "
                           "bucketing when N!=1; ignored under "
                           "--exact_levels")
+    tpu.add_argument("--flat_adam", action="store_true",
+                     help="run Adam over ONE concatenated parameter vector "
+                          "instead of one update kernel per param leaf — "
+                          "identical math (elementwise; see "
+                          "trainer.make_flat_adam), fewer launched regions "
+                          "on the kernel-launch-bound train step. The "
+                          "checkpoint records this flag; resume/test honor "
+                          "the saved value (opt-state structure differs)")
     tpu.add_argument("--gnn_unroll", type=int, default=1,
                      help="lax.scan unroll factor over GNN level pairs; "
                           "0 = fully unroll (fastest on kernel-launch-bound "

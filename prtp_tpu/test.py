@@ -36,7 +36,13 @@ def load_model_state(options, sample_pack):
     assert ckpt.checkpoint_exists(options.model_saving_dir), \
         f"no checkpoint in {options.model_saving_dir}"
     model = model_from_options(options)
-    tx = make_optimizer(options.learning_rate, options.weight_decay)
+    # the saved run's --flat_adam decides the opt-state structure the
+    # template must match (the eval never steps the optimizer, but
+    # from_bytes restores the whole state tree)
+    flat = bool(ckpt.load_config(options.model_saving_dir).get(
+        "flat_adam", getattr(options, "flat_adam", False)))
+    tx = make_optimizer(options.learning_rate, options.weight_decay,
+                        flat=flat)
     template = init_state_abstract(model, tx, sample_pack,
                                    jax.random.PRNGKey(0))
     state, config = ckpt.load_checkpoint(options.model_saving_dir, template)

@@ -114,7 +114,8 @@ def train(options, seed):
     options.net_feat_dim -= options.feat_reduce[1]
 
     model = model_from_options(options)
-    tx = make_optimizer(options.learning_rate, options.weight_decay)
+    tx = make_optimizer(options.learning_rate, options.weight_decay,
+                        flat=options.flat_adam)
 
     train_designs = get_design_list(options.data_save_path, "train")
     val_designs = get_design_list(options.data_save_path, "test")
@@ -199,6 +200,18 @@ def train(options, seed):
 
     config = {k: v for k, v in vars(options).items()}
     if ckpt.checkpoint_exists(options.model_saving_dir):
+        # the opt-state STRUCTURE must match the checkpoint before
+        # load_checkpoint can restore into the template: honor the
+        # saved --flat_adam over the CLI's
+        pre_cfg = ckpt.load_config(options.model_saving_dir)
+        if "flat_adam" in pre_cfg and bool(pre_cfg["flat_adam"]) \
+                != options.flat_adam:
+            options.flat_adam = bool(pre_cfg["flat_adam"])
+            config["flat_adam"] = options.flat_adam  # keep the re-saved
+            # config truthful — it must record the opt-state layout
+            tx = make_optimizer(options.learning_rate,
+                                options.weight_decay,
+                                flat=options.flat_adam)
         template = init_state_abstract(model, tx, first_pack,
                                        jax.random.PRNGKey(seed))
         state, saved_cfg = ckpt.load_checkpoint(options.model_saving_dir,
@@ -210,7 +223,8 @@ def train(options, seed):
                 options.learning_rate = lr
             if not options.change_alpha and "alpha" in saved_cfg:
                 options.alpha = float(saved_cfg["alpha"])
-        tx = make_optimizer(options.learning_rate, options.weight_decay)
+        tx = make_optimizer(options.learning_rate, options.weight_decay,
+                            flat=options.flat_adam)
         print("----------------Loading the model and hyper-parameters"
               "----------------")
     else:

@@ -40,6 +40,20 @@ def checkpoint_exists(save_dir: str) -> bool:
     return os.path.exists(os.path.join(save_dir, CKPT_NAME))
 
 
+def load_config(save_dir: str) -> dict:
+    """The saved hyperparameter record alone (no state template needed).
+
+    Callers that must rebuild a STRUCTURE-matching state template before
+    ``load_checkpoint`` (e.g. the optimizer layout under ``--flat_adam``)
+    read this first. Empty dict when absent.
+    """
+    cfg_path = os.path.join(save_dir, CONFIG_NAME)
+    if not os.path.exists(cfg_path):
+        return {}
+    with open(cfg_path) as f:
+        return json.load(f)
+
+
 def load_checkpoint(save_dir: str, state_template):
     """Restore a train state into ``state_template`` (same treedef).
 

@@ -42,13 +42,17 @@ def _attempt(point, packing):
     import bench
     import jax
 
-    if point == "big":
-        parsed, _ = bench.build_design(bench.BIG_NODES, bench.BIG_LEVELS,
-                                       seed=11)
+    if point == "merged":
+        design, state, step, ids, mask = bench.build_merged_step(
+            packing=packing)
     else:
-        parsed, _ = bench.build_design()
-    (_model, design, state, step,
-     ids, mask, _batch) = bench.build_point_step(parsed, packing)
+        if point == "big":
+            parsed, _ = bench.build_design(bench.BIG_NODES,
+                                           bench.BIG_LEVELS, seed=11)
+        else:
+            parsed, _ = bench.build_design()
+        (_model, design, state, step,
+         ids, mask, _batch) = bench.build_point_step(parsed, packing)
     t0 = time.time()
     # compile WITHOUT dispatching a step (no timing, no training state
     # mutation): lower+compile populates the persistent cache.
@@ -60,7 +64,8 @@ def _attempt(point, packing):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--point", default="big", choices=["big", "headline"])
+    ap.add_argument("--point", default="big",
+                    choices=["big", "headline", "merged"])
     ap.add_argument("--packing", default="exact",
                     choices=["exact", "grouped", "scan"])
     ap.add_argument("--attempts", type=int, default=4)
