@@ -243,12 +243,29 @@ def _bwd(config, res, g):
     # d_pre cotangent; one batched _mlp_grads over the concatenated
     # feature tables runs after the loop (mirrors the hoisted forward —
     # 4 small matmuls + 4 accumulation adds per pair become 4 matmuls
-    # total).
+    # total). The neigh-MLP wgrads defer the same way (its d_out IS
+    # d_pre_c); only its dx chain (3 matmuls) stays inline because the
+    # reverse walk consumes d_f sequentially.
     d_pre_cs = [None] * len(blocks)
     d_pre_ns = [None] * len(blocks)
+    f_list = [None] * len(blocks)
+    r_list = [None] * len(blocks)
+    da_list = [None] * len(blocks)
 
     def acc(tree, key, dp):
         tree[key] = jax.tree_util.tree_map(jnp.add, tree[key], dp)
+
+    # ONE batched mailbox gather for the whole reverse walk: every
+    # level's backward reads mailboxes from the FINAL ``hf`` (each row
+    # is written exactly once, at its own level), so all the per-level
+    # ``hf[cell_mail]`` gathers collapse into a single region up front.
+    mail_sizes = [b["cell_mail"].size for b in blocks[1:]]
+    if mail_sizes:
+        gat_all = hf[jnp.concatenate(
+            [b["cell_mail"].reshape(-1) for b in blocks[1:]])]
+        mail_off = [0]
+        for s in mail_sizes:
+            mail_off.append(mail_off[-1] + s)
 
     for k in reversed(range(len(blocks))):
         b = blocks[k]
@@ -292,20 +309,26 @@ def _bwd(config, res, g):
             d_old_c = jnp.zeros_like(g_c)
         d_pre_cs[k] = d_pre_c
         if k > 0:
-            m = hf[b["cell_mail"]]
+            md_c = b["cell_mail"].shape[1]
+            m = gat_all[mail_off[k - 1]: mail_off[k]].reshape(
+                pn_c, md_c, d)
             if nh:
                 w_attn = params["fc_attn2"]["kernel"]
                 f, _a = _attn_sum(m, validc, w_attn, nh)
-                dp_neigh, d_f = _mlp_grads(params["fc_cell_neigh"], f,
-                                           d_pre_c, mm)
-                acc(dparams, "fc_cell_neigh", dp_neigh)
+            else:
+                f, w = _softmax_sum(m, validc)
+            # inline neigh-MLP dx chain only (wgrads deferred below)
+            p_n = params["fc_cell_neigh"]
+            a_n = _mm(f, p_n["fc0"]["kernel"], mm) + p_n["fc0"]["bias"]
+            d_r = _mm(d_pre_c, p_n["fc1"]["kernel"].T, mm)
+            d_a = d_r * (a_n > 0)
+            d_f = _mm(d_a, p_n["fc0"]["kernel"].T, mm)
+            f_list[k], r_list[k] = f, jax.nn.relu(a_n)
+            da_list[k] = d_a
+            if nh:
                 d_w, d_mail_c = _attn_bwd(m, validc, w_attn, nh, d_f)
                 acc(dparams, "fc_attn2", {"kernel": d_w})
             else:
-                f, w = _softmax_sum(m, validc)
-                dp_neigh, d_f = _mlp_grads(params["fc_cell_neigh"], f,
-                                           d_pre_c, mm)
-                acc(dparams, "fc_cell_neigh", dp_neigh)
                 # d f/d m_j = w_j (1 + m_j - f) elementwise per channel
                 d_mail_c = d_f[:, None, :] * w * (1.0 + m - f[:, None, :])
         else:
@@ -338,6 +361,20 @@ def _bwd(config, res, g):
         params["fc_net_self"],
         jnp.concatenate([b["net_feat"] for b in blocks], axis=0),
         jnp.concatenate(d_pre_ns, axis=0), mm, need_dx=False)
+    # deferred neigh-MLP wgrads: the walk saved (f, relu-hidden, d_a)
+    # per pair; its d_out is exactly d_pre_c. Two batched matmuls
+    # replace 2 per-pair matmuls + 4 per-pair accumulation adds.
+    if len(blocks) > 1:
+        f_all = jnp.concatenate(f_list[1:], axis=0)
+        r_all = jnp.concatenate(r_list[1:], axis=0)
+        da_all = jnp.concatenate(da_list[1:], axis=0)
+        do_all = jnp.concatenate(d_pre_cs[1:], axis=0)
+        dparams["fc_cell_neigh"] = {
+            "fc0": {"kernel": _mm(f_all.T, da_all, mm),
+                    "bias": da_all.sum(0)},
+            "fc1": {"kernel": _mm(r_all.T, do_all, mm),
+                    "bias": do_all.sum(0)},
+        }
 
     return dparams, dh, None
 
