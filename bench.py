@@ -489,6 +489,7 @@ def _child_point(point):
             inf_dps=inf_dps, xla_flops=xla_flops, packing=packing,
             gnn_unroll=GNN_UNROLL,
             flat_adam=_env("FLAT_ADAM", 1) == 1,
+            gnn_batched=os.environ.get("PRTP_GNN_BATCHED", "0") == "1",
             dtype=os.environ.get("BENCH_DTYPE", "float32"),
             device_kind=jax.devices()[0].device_kind,
             nodes=int(parsed["num_nodes"]),

@@ -13,6 +13,9 @@ run() { echo "=== $(date +%H:%M:%S) $*" >> $L; timeout "$@" >> $L 2>&1; echo "rc
 BENCH_DTYPE=bfloat16 run 900 python bench.py --point headline
 # 1b. flat-adam A/B: per-leaf optax Adam (the r01-r03 optimizer)
 BENCH_DTYPE=bfloat16 BENCH_FLAT_ADAM=0 run 600 python bench.py --point headline
+# 1c. cross-level batched fused form (round-2 f32 REJECT, re-test in
+#     bf16: hoisted self-MLPs + one bwd gather + deferred wgrads)
+BENCH_DTYPE=bfloat16 PRTP_GNN_BATCHED=1 run 600 python bench.py --point headline
 # 2. f32 A/B headline
 BENCH_DTYPE=float32 run 600 python bench.py --point headline
 # 3. grouped headline + unroll A/B

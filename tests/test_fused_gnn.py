@@ -31,8 +31,13 @@ def _design(rng, level_sizes=(5, 9, 7, 11, 6, 8)):
     )
 
 
+@pytest.mark.parametrize("batched", ["0", "1"])
 @pytest.mark.parametrize("dgl_parity", [True, False])
-def test_fused_matches_autodiff(dgl_parity):
+def test_fused_matches_autodiff(dgl_parity, batched, monkeypatch):
+    """Covers BOTH fused forms: per-level (default, the round-2
+    measured winner in f32) and cross-level batched
+    (PRTP_GNN_BATCHED=1, the bf16-era re-test lever)."""
+    monkeypatch.setenv("PRTP_GNN_BATCHED", batched)
     rng = np.random.default_rng(3)
     parsed = _design(rng)
     design = pack_design(parsed, map_size=16, exact_levels=True)
@@ -76,11 +81,13 @@ def test_fused_matches_autodiff(dgl_parity):
             err_msg=f"param grad mismatch at {jax.tree_util.keystr(path)}")
 
 
+@pytest.mark.parametrize("batched", ["0", "1"])
 @pytest.mark.parametrize("num_heads", [1, 2])
-def test_fused_attn_matches_autodiff(num_heads):
+def test_fused_attn_matches_autodiff(num_heads, batched, monkeypatch):
     """--attn on the exact path runs through the fused VJP too (r4):
     forward + param grads — including fc_attn2's score projection —
-    must match autodiff exactly."""
+    must match autodiff exactly, in both fused forms."""
+    monkeypatch.setenv("PRTP_GNN_BATCHED", batched)
     rng = np.random.default_rng(13)
     parsed = _design(rng)
     design = pack_design(parsed, map_size=16, exact_levels=True)
