@@ -38,9 +38,10 @@ def load_model_state(options, sample_pack):
     model = model_from_options(options)
     # the saved run's --flat_adam decides the opt-state structure the
     # template must match (the eval never steps the optimizer, but
-    # from_bytes restores the whole state tree)
+    # from_bytes restores the whole state tree); a config predating
+    # the flag was per-leaf Adam by construction -> missing = False
     flat = bool(ckpt.load_config(options.model_saving_dir).get(
-        "flat_adam", getattr(options, "flat_adam", False)))
+        "flat_adam", False))
     tx = make_optimizer(options.learning_rate, options.weight_decay,
                         flat=flat)
     template = init_state_abstract(model, tx, sample_pack,

@@ -202,11 +202,11 @@ def train(options, seed):
     if ckpt.checkpoint_exists(options.model_saving_dir):
         # the opt-state STRUCTURE must match the checkpoint before
         # load_checkpoint can restore into the template: honor the
-        # saved --flat_adam over the CLI's
+        # saved --flat_adam over the CLI's (a config predating the
+        # flag was per-leaf Adam by construction -> missing = False)
         pre_cfg = ckpt.load_config(options.model_saving_dir)
-        if "flat_adam" in pre_cfg and bool(pre_cfg["flat_adam"]) \
-                != options.flat_adam:
-            options.flat_adam = bool(pre_cfg["flat_adam"])
+        if bool(pre_cfg.get("flat_adam", False)) != options.flat_adam:
+            options.flat_adam = bool(pre_cfg.get("flat_adam", False))
             config["flat_adam"] = options.flat_adam  # keep the re-saved
             # config truthful — it must record the opt-state layout
             tx = make_optimizer(options.learning_rate,

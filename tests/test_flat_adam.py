@@ -84,6 +84,33 @@ def test_flat_adam_train_step_equivalence():
                                    rtol=1e-4, atol=2e-6)
 
 
+def test_preflag_checkpoint_resumes_per_leaf(tmp_path):
+    """A checkpoint whose config.json predates --flat_adam (key absent)
+    was per-leaf Adam by construction: resuming it — even with
+    --flat_adam on the CLI — must rebuild the per-leaf opt-state
+    template (train.py/test.py treat missing as False), not crash on a
+    structure mismatch."""
+    rng = np.random.default_rng(6)
+    parsed = _tiny_parsed_design(rng)
+    design = pack_design(parsed, map_size=16, align=8)
+    model = PathModel(out_dim=16, hidden_dim=32, cnn_outdim=8, map_size=16,
+                      global_dim=8)
+    tx = make_optimizer(1e-3, flat=False)
+    state = init_state(model, tx, design, jax.random.PRNGKey(0))
+    ckpt.save_checkpoint(str(tmp_path), state, {"learning_rate": 1e-3})
+
+    saved = ckpt.load_config(str(tmp_path))
+    assert "flat_adam" not in saved
+    flat = bool(saved.get("flat_adam", False))  # the drivers' read
+    assert flat is False
+    tx2 = make_optimizer(1e-3, flat=flat)
+    template = init_state_abstract(model, tx2, design, jax.random.PRNGKey(1))
+    restored, _ = ckpt.load_checkpoint(str(tmp_path), template)
+    for a, b in zip(jax.tree_util.tree_leaves(state.opt_state),
+                    jax.tree_util.tree_leaves(restored.opt_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_flat_adam_checkpoint_resume_honors_saved_flag(tmp_path):
     """A checkpoint written under --flat_adam restores into a template
     built from load_config's flat_adam (the train/test drivers' resume
