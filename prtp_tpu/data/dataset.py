@@ -98,6 +98,29 @@ def load_design_npz(path: str) -> dict:
     }
 
 
+def load_design_shapes(path: str) -> dict:
+    """The subset of :func:`load_design_npz` that graph.bucket_shape
+    reads (level tables, edge dst ids, counts) — an NpzFile decompresses
+    per key, so skipping the rasters/features/masks makes the startup
+    bucket pass cheap instead of a second full corpus read (the full
+    arrays are loaded once, later, by the DesignCache loader)."""
+    z = np.load(path)
+    node_off = z["node_off"]
+    lvl_nodes = z["lvl_nodes"]
+    levels = []
+    for i in range(len(node_off) - 1):
+        # targets/paths (slots 1-2) are unused by bucket_shape
+        levels.append((lvl_nodes[node_off[i]: node_off[i + 1]],
+                       None, None))
+    return {
+        "num_nodes": int(z["num_nodes"]),
+        "num_paths": int(z["num_paths"]),
+        "cell_edges": (None, z["cell_dst"]),
+        "net_edges": (None, z["net_dst"]),
+        "levels": levels,
+    }
+
+
 def get_design_list(data_path: str, usage: str) -> List[str]:
     """Read {train,test}data_list.txt (reference src/train.py:321-333)."""
     assert usage in ("train", "test"), \

@@ -108,14 +108,15 @@ def _attn_sum(m, valid, w, nh):
     return out, alpha
 
 
-def _attn_bwd(m, valid, w, nh, d_out):
-    """VJP of :func:`_attn_sum` w.r.t. (w, m) given ``d_out`` (pn, d):
-    value-path grad ``alpha * d_out`` plus the per-head softmax backward
-    ``alpha * (d_alpha - <alpha, d_alpha>)`` routed through the score
-    projection. Invalid mailbox slots carry exactly zero."""
+def _attn_bwd(m, valid, w, nh, d_out, alpha):
+    """VJP of :func:`_attn_sum` w.r.t. (w, m) given ``d_out`` (pn, d)
+    and the forward's ``alpha`` (so the score matmul + masked softmax
+    are not recomputed): value-path grad ``alpha * d_out`` plus the
+    per-head softmax backward ``alpha * (d_alpha - <alpha, d_alpha>)``
+    routed through the score projection. Invalid mailbox slots carry
+    exactly zero."""
     pn, md, d = m.shape
     dh = d // nh
-    _out, alpha = _attn_sum(m, valid, w, nh)
     mh = m.reshape(pn, md, nh, dh)
     d_oh = d_out.reshape(pn, nh, dh)
     d_alpha = jnp.einsum("pmhd,phd->pmh", mh, d_oh)
@@ -350,7 +351,7 @@ def _bwd(config, res, g):
                 m = hf[b["cell_mail"]]
             if nh:
                 w_attn = params["fc_attn2"]["kernel"]
-                f, _a = _attn_sum(m, validc, w_attn, nh)
+                f, alpha_c = _attn_sum(m, validc, w_attn, nh)
             else:
                 f, w = _softmax_sum(m, validc)
             if batched:
@@ -368,7 +369,8 @@ def _bwd(config, res, g):
                                            d_pre_c, mm)
                 acc(dparams, "fc_cell_neigh", dp_neigh)
             if nh:
-                d_w, d_mail_c = _attn_bwd(m, validc, w_attn, nh, d_f)
+                d_w, d_mail_c = _attn_bwd(m, validc, w_attn, nh, d_f,
+                                          alpha_c)
                 acc(dparams, "fc_attn2", {"kernel": d_w})
             else:
                 # d f/d m_j = w_j (1 + m_j - f) elementwise per channel

@@ -21,7 +21,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .data.dataset import (get_design_list, load_design_npz,
+from .data.dataset import (get_design_list, load_design_shapes,
                            load_single_design)
 from .graph import bucket_shape
 from .graph import pack_design
@@ -138,9 +138,11 @@ def train(options, seed):
         # steps compile exactly once (per-design shapes would mean one
         # XLA compile each).
         all_designs = sorted(set(train_designs) | set(val_designs))
+        # shapes-only loads: the full arrays are read once, later, by
+        # the DesignCache loaders — not twice per design at startup
         bucket = bucket_shape(
-            [load_design_npz(os.path.join(options.data_save_path,
-                                          f"{d}.npz"))
+            [load_design_shapes(os.path.join(options.data_save_path,
+                                             f"{d}.npz"))
              for d in all_designs], map_size=options.map_size)
 
     # the im2col patch table only serves the LayoutNet fast path
@@ -163,8 +165,8 @@ def train(options, seed):
         # the saved compiles are minutes each. Numerically identical
         # (packing-equivalence pinned by test_models / goldens).
         val_bucket = bucket_shape(
-            [load_design_npz(os.path.join(options.data_save_path,
-                                          f"{d}.npz"))
+            [load_design_shapes(os.path.join(options.data_save_path,
+                                             f"{d}.npz"))
              for d in val_designs], map_size=options.map_size)
 
         def val_packer(parsed):

@@ -222,9 +222,17 @@ def write_results_md(out, rows, epochs):
     for r in rows:
         lines.append(f"### {r['name']}  (`{r['flags']}`)")
         lines.append("")
+        # first/last_loss are None when no batch line parsed (e.g. a
+        # diverged config printing 'l:nan') — report that instead of
+        # crashing the whole pack after hours of training
+        span = (f"per-batch loss {r['first_loss']:.3f} -> "
+                f"{r['last_loss']:.3f}"
+                if r["first_loss"] is not None
+                and r["last_loss"] is not None
+                else "per-batch loss unavailable (no numeric batch "
+                     "lines parsed)")
         lines.append(f"- train: {r['steps']} batches in {r['train_s']}s; "
-                     f"per-batch loss {r['first_loss']:.3f} -> "
-                     f"{r['last_loss']:.3f}; eval {r['eval_s']}s")
+                     f"{span}; eval {r['eval_s']}s")
         lines.append("")
         lines.append("| val # | R2 | recall | F1 |")
         lines.append("|---|---|---|---|")

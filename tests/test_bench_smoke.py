@@ -58,8 +58,11 @@ def test_bench_main_prints_one_json_line():
                 "chip", "peak_tflops_bf16", "mfu"):
         assert key in d
     # bf16 is the headline default (r4); the f32 A/B lands in detail
+    # when the budget allows (bench.py runs it only with >420s left, and
+    # a slow host may legitimately skip it — null, not a failure)
     assert d["compute_dtype"] == "bfloat16"
-    assert d["headline_f32_steps_per_sec"] > 0
+    f32 = d["headline_f32_steps_per_sec"]
+    assert f32 is None or f32 > 0
     assert d["tunnel_probe"]["ok"] is True
     assert d["tunnel_probe"]["attempts"] >= 1
 

@@ -269,6 +269,18 @@ def test_npz_roundtrip(parsed_design, corpus):
     assert again["cnn_input"].shape == (2, 64, 64)
 
 
+def test_shapes_loader_matches_full_loader_bucket(parsed_design):
+    """load_design_shapes (the cheap startup bucket pass) must yield the
+    SAME bucket_shape as the full npz load it replaces in train.py."""
+    from prtp_tpu.data.dataset import load_design_shapes
+    from prtp_tpu.graph import bucket_shape
+    parsed, save = parsed_design
+    path = os.path.join(save, "syn_a.npz")
+    full = load_design_npz(path)
+    slim = load_design_shapes(path)
+    assert bucket_shape([slim], align=8) == bucket_shape([full], align=8)
+
+
 def test_pipeline_scales_to_10k_cells(tmp_path):
     """Medium-scale host pipeline smoke: ~20k pins end-to-end quickly."""
     import time
