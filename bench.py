@@ -14,6 +14,7 @@ same batch size.
 """
 
 import json
+import math
 import os
 import sys
 import time
@@ -23,6 +24,75 @@ import numpy as np
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
+
+
+# --------------------------------------------- measurement integrity
+#
+# VERDICT r4: the merged point published MFU 235-348% because its timed
+# loop ended in jax.block_until_ready, which on this tunnel-backed
+# backend returns instantly on an aborted dispatch — a device-side
+# failure was timed as a 0.3 ms success. Two rules, enforced here and
+# pinned by tests/test_bench_smoke.py:
+#   1. every timed trial must END with a real host fetch of a scalar
+#      (float(loss)) so an aborted dispatch raises instead of timing;
+#   2. no point may be published whose derived MFU exceeds 1.0 or whose
+#      inter-trial spread exceeds MAX_SPREAD — the rejection (with raw
+#      trials) is recorded in the JSON instead.
+
+MAX_SPREAD = 0.15
+
+
+def timed_trials(step, state, design, ids, mask, inner, trials=3,
+                 label="tpu", max_extra=2):
+    """Throughput trials, each bounded by a scalar loss fetch.
+
+    Returns (state, sps_list) — steps/s per trial, all trials recorded.
+    Raises on a non-finite loss (an aborted dispatch or NaN blow-up is
+    a failed point, never a number). If the first ``trials`` are
+    unstable (> MAX_SPREAD), up to ``max_extra`` further trials run so
+    a single cold outlier doesn't reject an otherwise-stable point —
+    the gate then evaluates the LAST ``trials`` measurements.
+    """
+    sps = []
+    for i in range(trials + max_extra):
+        t0 = time.time()
+        state, mets = step(state, design, ids, mask)
+        loss = float(mets["loss"])  # real device round-trip
+        dt = time.time() - t0
+        if not math.isfinite(loss):
+            raise RuntimeError(f"{label} trial {i}: non-finite loss {loss}")
+        sps.append(inner / dt)
+        log(f"{label} trial {i}: {sps[-1]:.2f} steps/s loss={loss:.3f}")
+        if i + 1 >= trials and point_spread(sps[-trials:]) <= MAX_SPREAD:
+            break
+    return state, sps
+
+
+def point_spread(sps):
+    return (max(sps) - min(sps)) / max(sps) if sps else 1.0
+
+
+def gate_point(sps, trials, flops_per_step=None, peak_tflops=None):
+    """Integrity gate: (steps/s or None, reject-reason or None).
+
+    The accepted figure is the best of the last ``trials`` samples;
+    a point is REJECTED (None + reason) when those samples spread more
+    than MAX_SPREAD or when the implied MFU exceeds 1.0.
+    """
+    if not sps:
+        return None, "no completed trials"
+    window = sps[-trials:]
+    spread = point_spread(window)
+    if spread > MAX_SPREAD:
+        return None, (f"inter-trial spread {spread:.0%} > "
+                      f"{MAX_SPREAD:.0%} (unstable clock)")
+    best = max(window)
+    if flops_per_step and peak_tflops:
+        mfu = best * flops_per_step / 1e12 / peak_tflops
+        if mfu > 1.0:
+            return None, (f"derived MFU {mfu:.2f} > 1.0 "
+                          "(physically impossible measurement)")
+    return best, None
 
 
 def _env(name, default):
@@ -198,18 +268,11 @@ def bench_tpu(parsed, inference=True, trials=3, packing="exact"):
 
     t0 = time.time()
     state, mets = step(state, design, ids, mask)
-    jax.block_until_ready(mets["loss"])
+    first_loss = float(mets["loss"])  # real fetch: an aborted dispatch raises
     log(f"tpu compile+first-dispatch({inner} steps): {time.time() - t0:.1f}s "
-        f"loss={float(mets['loss']):.3f} backend={jax.default_backend()}")
-    best = 0.0
-    for trial in range(trials):
-        t0 = time.time()
-        state, mets = step(state, design, ids, mask)
-        jax.block_until_ready(mets["loss"])
-        dt = (time.time() - t0) / inner
-        log(f"tpu trial {trial}: {1 / dt:.2f} steps/s "
-            f"loss={float(mets['loss']):.3f}")
-        best = max(best, 1.0 / dt)
+        f"loss={first_loss:.3f} backend={jax.default_backend()}")
+    state, sps = timed_trials(step, state, design, ids, mask, inner,
+                              trials=trials, label="tpu")
     # XLA's own FLOPs count for the compiled dispatch — the independent
     # cross-check of the analytic step_cost_model (VERDICT r2 weak #7).
     # HloCostAnalysis counts a While body ONCE (trip-count-agnostic), and
@@ -225,8 +288,14 @@ def bench_tpu(parsed, inference=True, trials=3, packing="exact"):
             log(f"xla cost_analysis: {xla_flops / 1e9:.2f} GFLOP/step")
     except Exception as e:
         log(f"cost_analysis unavailable: {e}")
+    peak = CHIP_PEAKS.get(jax.devices()[0].device_kind, {}) \
+        .get("peak_tflops_bf16")
+    best, reject = gate_point(sps, trials, xla_flops, peak)
+    if reject:
+        log(f"POINT REJECTED: {reject} (trials: "
+            f"{[round(s, 2) for s in sps]})")
     if not inference:
-        return best, design.num_paths, batch, None, xla_flops
+        return best, design.num_paths, batch, None, xla_flops, sps, reject
 
     # inference: full-design forward (all paths), designs/sec
     from prtp_tpu.trainer import make_eval_step, pad_batch
@@ -245,7 +314,7 @@ def bench_tpu(parsed, inference=True, trials=3, packing="exact"):
     inf_dps = n_inf / (time.time() - t0)
     log(f"tpu inference: {inf_dps:.2f} designs/s "
         f"({design.num_paths} paths/design)")
-    return best, design.num_paths, batch, inf_dps, xla_flops
+    return best, design.num_paths, batch, inf_dps, xla_flops, sps, reject
 
 
 def build_merged_step(k=MERGED_K, nodes=MERGED_NODES, levels=MERGED_LEVELS,
@@ -316,26 +385,31 @@ def bench_merged(k=MERGED_K, trials=2, packing="exact"):
     inner = TPU_STEPS
     t0 = time.time()
     state, mets = step(state, design, ids, mask)
-    jax.block_until_ready(mets["loss"])
-    log(f"merged-{k} compile+first dispatch: {time.time() - t0:.1f}s")
-    best = 0.0
-    for _ in range(trials):
-        t0 = time.time()
-        state, mets = step(state, design, ids, mask)
-        jax.block_until_ready(mets["loss"])
-        best = max(best, inner / (time.time() - t0))
-    log(f"merged-{k}: {best:.2f} steps/s = {k * best:.1f} design-steps/s")
+    first_loss = float(mets["loss"])  # real fetch: an aborted dispatch raises
+    log(f"merged-{k} compile+first dispatch: {time.time() - t0:.1f}s "
+        f"loss={first_loss:.3f}")
+    state, sps = timed_trials(step, state, design, ids, mask, inner,
+                              trials=trials, label=f"merged-{k}")
     xla_flops = None
     try:
         ca = step.lower(state, design, ids, mask).compile().cost_analysis()
         ca = ca[0] if isinstance(ca, (list, tuple)) else ca
         if ca and ca.get("flops"):
             xla_flops = float(ca["flops"])
-            log(f"merged xla cost_analysis: {xla_flops / 1e9:.2f} "
-                f"GFLOP/step -> {xla_flops * best / 1e12:.2f} TFLOP/s")
     except Exception as e:
         log(f"merged cost_analysis unavailable: {e}")
-    return best, xla_flops
+    peak = CHIP_PEAKS.get(jax.devices()[0].device_kind, {}) \
+        .get("peak_tflops_bf16")
+    best, reject = gate_point(sps, trials, xla_flops, peak)
+    if reject:
+        log(f"merged-{k} POINT REJECTED: {reject} (trials: "
+            f"{[round(s, 2) for s in sps]})")
+    else:
+        log(f"merged-{k}: {best:.2f} steps/s = {k * best:.1f} "
+            f"design-steps/s"
+            + (f", {xla_flops * best / 1e12:.2f} TFLOP/s" if xla_flops
+               else ""))
+    return best, xla_flops, sps, reject
 
 
 def bench_torch_cpu(parsed):
@@ -481,12 +555,14 @@ def _child_point(point):
             f"{len(parsed['net_edges'][0])} net-edges, "
             f"{parsed['num_paths']} paths, {len(sizes)} levels "
             f"(front-loaded profile, first level {sizes[0]})")
-        tpu_sps, num_paths, batch, inf_dps, xla_flops = bench_tpu(
-            parsed, packing=packing)
+        (tpu_sps, num_paths, batch, inf_dps,
+         xla_flops, sps_trials, reject) = bench_tpu(parsed, packing=packing)
         import jax
         out.update(
             tpu_sps=tpu_sps, num_paths=int(num_paths), batch=int(batch),
             inf_dps=inf_dps, xla_flops=xla_flops, packing=packing,
+            sps_trials=[round(s, 3) for s in sps_trials],
+            rejected=reject,
             gnn_unroll=GNN_UNROLL,
             flat_adam=_env("FLAT_ADAM", 1) == 1,
             gnn_batched=os.environ.get("PRTP_GNN_BATCHED", "0") == "1",
@@ -497,18 +573,22 @@ def _child_point(point):
                       + len(parsed["net_edges"][0])))
     elif point == "merged":
         packing = os.environ.get("BENCH_MERGED_PACKING", "exact")
-        out["merged_sps"], out["merged_xla_flops"] = bench_merged(
-            packing=packing)
+        (out["merged_sps"], out["merged_xla_flops"],
+         trials, reject) = bench_merged(packing=packing)
         out["packing"] = packing
+        out["sps_trials"] = [round(s, 3) for s in trials]
+        out["rejected"] = reject
     elif point == "big":
         packing = os.environ.get("BENCH_BIG_PACKING", "exact")
         parsed, sizes = build_design(BIG_NODES, BIG_LEVELS, seed=11)
         log(f"big design: {parsed['num_nodes']} nodes, "
             f"{len(parsed['cell_edges'][0]) + len(parsed['net_edges'][0])}"
             f" edges, {len(sizes)} levels, packing={packing}")
-        sps, _, _, _, _ = bench_tpu(parsed, inference=False, trials=2,
-                                    packing=packing)
+        sps, _, _, _, _, trials, reject = bench_tpu(
+            parsed, inference=False, trials=2, packing=packing)
         out.update(big_sps=sps, packing=packing,
+                   sps_trials=[round(s, 3) for s in trials],
+                   rejected=reject,
                    nodes=int(parsed["num_nodes"]),
                    edges=int(len(parsed["cell_edges"][0])
                              + len(parsed["net_edges"][0])))
@@ -516,14 +596,23 @@ def _child_point(point):
         # cheap tunnel-health probe: device enumeration + one tiny op.
         # The parent records the outcome in the final JSON so a round of
         # null points is attributable (tunnel outage vs framework bug).
+        # cold_start_s = connect + enumerate + first tiny compile;
+        # rtt_ms = per-op dispatch+fetch round-trip of a PRE-compiled op
+        # (VERDICT r4 weak #7: the old single `rtt_s` field conflated
+        # the two, three orders of magnitude apart).
         import jax
         import jax.numpy as jnp
         t0 = time.time()
         kind = jax.devices()[0].device_kind
         one = jnp.ones(())
         _ = float(one + one)
+        cold = time.time() - t0
+        t0 = time.time()
+        for _i in range(5):
+            _ = float(one + one)
         out.update(ok=True, device_kind=kind,
-                   rtt_s=round(time.time() - t0, 1))
+                   cold_start_s=round(cold, 1),
+                   rtt_ms=round((time.time() - t0) / 5 * 1e3, 1))
     else:
         raise SystemExit(f"unknown bench point {point!r}")
     print(json.dumps(out))
@@ -551,7 +640,11 @@ def _last_verified():
             except (json.JSONDecodeError, OSError):
                 continue
             val = doc.get("value") if isinstance(doc, dict) else None
-            if val is None:
+            # guard against non-numeric values and different metrics
+            # (a string value would TypeError out of the whole fallback)
+            if not isinstance(val, (int, float)) or isinstance(val, bool):
+                continue
+            if doc.get("metric") != "train_steps_per_sec":
                 continue
             if best is None or val > best["value"]:
                 best = {"file": f"results/tpu_runs/{name}",
@@ -652,32 +745,54 @@ def main():
     # (no fast error, just a hung dispatch) must not eat the whole
     # budget in attempt 1. Warm-cache attempts need ~3 min; 900s covers
     # a cold exact compile; the grouped fallback compiles in ~1 min.
+    def _landed(doc, key):
+        # a point counts only when its child succeeded AND the integrity
+        # gate accepted it (a rejected point carries key=None + reason)
+        return doc is not None and doc.get(key) is not None
+
     head = _run_point("headline",
                       timeout=max(300.0, min(900.0, remaining())))
-    if head is None:
+    if not _landed(head, "tpu_sps"):
         head = _run_point("headline",
                           timeout=max(300.0, min(450.0, remaining())))
-    if head is None:
+    if not _landed(head, "tpu_sps"):
         head = _run_point(
             "headline", timeout=max(300.0, min(600.0, remaining())),
             extra_env={"BENCH_HEADLINE_PACKING": "grouped"})
-    if head is None:
+    if not _landed(head, "tpu_sps"):
+        detail = {"error": "headline point failed/rejected "
+                           "(exact + retry + grouped fallback)",
+                  "tunnel_probe": tunnel,
+                  "last_verified": _last_verified()}
+        if head is not None:
+            detail["rejected"] = head.get("rejected")
+            detail["sps_trials"] = head.get("sps_trials")
         print(json.dumps({"metric": "train_steps_per_sec", "value": None,
                           "unit": "steps/s", "vs_baseline": None,
-                          "detail": {"error": "headline point failed "
-                                     "(exact + retry + grouped fallback)",
-                                     "tunnel_probe": tunnel,
-                                     "last_verified": _last_verified()}}))
+                          "detail": detail}))
         return
     tpu_sps, batch = head["tpu_sps"], head["batch"]
     num_paths, inf_dps = head["num_paths"], head["inf_dps"]
     xla_flops = head["xla_flops"]
 
+    # f32 headline A/B (the r01-r03 headline dtype) runs FIRST among the
+    # secondary points: the bf16-vs-f32 speedup must land in the
+    # artifact of record even when the budget runs short (VERDICT r4
+    # missing #4 — in r4 it ran last and was always starved).
+    f32 = None
+    if os.environ.get("BENCH_DTYPE") == "bfloat16" and remaining() > 360:
+        f32 = _run_point("headline",
+                         timeout=max(300.0, min(600.0, remaining())),
+                         extra_env={"BENCH_DTYPE": "float32"})
+        if f32 is not None and f32.get("tpu_sps") is None:
+            log(f"f32 A/B rejected: {f32.get('rejected')}")
+            f32 = None
+
     # merged super-graph point (design-steps/s); grouped-scan fallback
     # like the headline
     merged = (_run_point("merged", timeout=max(120.0, min(600.0, remaining())))
               if remaining() > 60 else None)
-    if merged is None and remaining() > 60:
+    if not _landed(merged, "merged_sps") and remaining() > 60:
         merged = _run_point(
             "merged", timeout=max(120.0, min(600.0, remaining())),
             extra_env={"BENCH_MERGED_PACKING": "grouped"})
@@ -704,21 +819,13 @@ def main():
         chain.append(("scan", 600.0))
     big = None
     for packing, cap in chain:
-        if big is not None or remaining() < 60:
+        if _landed(big, "big_sps") or remaining() < 60:
             break
         big = _run_point("big", timeout=max(120.0, min(cap, remaining())),
                          extra_env={"BENCH_BIG_PACKING": packing})
-    if big is None:
-        log("big-design point: null")
-
-    # opportunistic f32 headline A/B (the r01-r03 headline dtype): the
-    # main number above is bf16; keep the f32 point in detail when the
-    # budget allows so the dtype speedup stays a measured fact.
-    f32 = None
-    if os.environ.get("BENCH_DTYPE") == "bfloat16" and remaining() > 420:
-        f32 = _run_point("headline",
-                         timeout=max(300.0, min(600.0, remaining())),
-                         extra_env={"BENCH_DTYPE": "float32"})
+    if not _landed(big, "big_sps"):
+        log("big-design point: null"
+            + (f" (rejected: {big.get('rejected')})" if big else ""))
 
     # torch-CPU reference baseline + analytic cost model, in-parent
     # (numpy/torch only — the parent never opens the TPU client).
@@ -738,6 +845,23 @@ def main():
     ach_tf = (xla_flops or flops) * tpu_sps / 1e12
     ach_gb = hbm_bytes * tpu_sps / 1e9
     pt, pb = peaks["peak_tflops_bf16"], peaks["peak_hbm_gbps"]
+    # parent-side belt-and-braces on the gate the children already ran:
+    # an artifact of record must never carry an MFU > 1 anywhere
+    if pt and ach_tf / pt > 1.0:
+        print(json.dumps({
+            "metric": "train_steps_per_sec", "value": None,
+            "unit": "steps/s", "vs_baseline": None,
+            "detail": {"error": f"REJECTED: headline implies MFU "
+                                f"{ach_tf / pt:.2f} > 1 (broken clock)",
+                       "sps_trials": head.get("sps_trials"),
+                       "tunnel_probe": tunnel,
+                       "last_verified": _last_verified()}}))
+        return
+    merged_mfu = (merged_xla_flops * merged_sps / 1e12 / pt
+                  if merged_sps and merged_xla_flops and pt else None)
+    if merged_mfu is not None and merged_mfu > 1.0:
+        log(f"merged point REJECTED at assembly: MFU {merged_mfu:.2f} > 1")
+        merged_sps = merged_mfu = None
     result = {
         "metric": "train_steps_per_sec",
         "value": round(tpu_sps, 3),
@@ -751,6 +875,7 @@ def main():
             "batch": int(batch),
             "packing": head.get("packing", "exact"),
             "compute_dtype": head.get("dtype", "float32"),
+            "sps_trials": head.get("sps_trials"),
             "tunnel_probe": tunnel,
             "inference_designs_per_sec": round(inf_dps, 2),
             "headline_f32_steps_per_sec": (round(f32["tpu_sps"], 3)
@@ -783,14 +908,18 @@ def main():
                 "achieved_tflops": (
                     round(merged_xla_flops * merged_sps / 1e12, 3)
                     if merged_sps and merged_xla_flops else None),
-                "mfu": (round(merged_xla_flops * merged_sps / 1e12 / pt, 4)
-                        if merged_sps and merged_xla_flops and pt else None),
+                "mfu": round(merged_mfu, 4) if merged_mfu else None,
+                "sps_trials": merged.get("sps_trials") if merged else None,
+                "rejected": merged.get("rejected") if merged else None,
             },
             "big_design": {
                 "nodes": big["nodes"] if big else BIG_NODES,
                 "edges": big["edges"] if big else None,
-                "steps_per_sec": round(big["big_sps"], 3) if big else None,
+                "steps_per_sec": (round(big["big_sps"], 3)
+                                  if big and big.get("big_sps") else None),
                 "packing": big["packing"] if big else None,
+                "sps_trials": big.get("sps_trials") if big else None,
+                "rejected": big.get("rejected") if big else None,
             },
         },
     }

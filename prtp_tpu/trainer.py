@@ -101,7 +101,11 @@ def init_state(model, tx, design: DesignData, rng, batch_size: int = 4):
         path_ids = jnp.zeros((design.cnn_input.shape[0], b), jnp.int32)
     else:
         path_ids = jnp.zeros((b,), jnp.int32)
-    variables = model.init(rng, design, path_ids)
+    # jit the init: eager flax init dispatches one op at a time, which
+    # on a remote-tunneled chip (~36 ms/op round-trip) costs minutes;
+    # one compiled program runs in seconds AND lands in the persistent
+    # compile cache, so bench/warm_cache re-runs skip it entirely
+    variables = jax.jit(model.init)(rng, design, path_ids)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     return TrainState(

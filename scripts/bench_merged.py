@@ -35,17 +35,19 @@ def log(*a):
 
 
 def _measure(step, state, design, ids, mask, trials=3):
-    import jax
+    import math
     t0 = time.time()
     state, mets = step(state, design, ids, mask)
-    jax.block_until_ready(mets["loss"])
+    loss = float(mets["loss"])  # real fetch: an aborted dispatch raises
     log(f"  compile+first dispatch: {time.time() - t0:.1f}s "
-        f"loss={float(mets['loss']):.3f}")
+        f"loss={loss:.3f}")
     best = 0.0
     for _ in range(trials):
         t0 = time.time()
         state, mets = step(state, design, ids, mask)
-        jax.block_until_ready(mets["loss"])
+        loss = float(mets["loss"])  # bounds the timed region
+        if not math.isfinite(loss):
+            raise RuntimeError(f"non-finite loss {loss}")
         best = max(best, STEPS / (time.time() - t0))
     return best
 

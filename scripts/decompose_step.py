@@ -68,14 +68,30 @@ def measure(model, design, tag, rows):
         rng.permutation(design.num_paths)[:batch].astype(np.int64), batch)
     t0 = time.time()
     state, mets = step(state, design, ids, mask)
-    jax.block_until_ready(mets["loss"])
+    # real host fetch: an aborted dispatch raises here instead of being
+    # timed as a microsecond success (the r4 PROFILE.md published
+    # 0.02 ms/step for a 12.6 ms workload because block_until_ready
+    # returned instantly on this tunnel backend's error buffers)
+    first_loss = float(mets["loss"])
+    if not np.isfinite(first_loss):
+        raise RuntimeError(f"{tag}: non-finite loss {first_loss}")
     compile_s = time.time() - t0
     best = float("inf")
+    trials_ms = []
     for _ in range(3):
         t0 = time.time()
         state, mets = step(state, design, ids, mask)
-        jax.block_until_ready(mets["loss"])
-        best = min(best, (time.time() - t0) / STEPS)
+        loss = float(mets["loss"])  # bounds the timed region
+        dt = (time.time() - t0) / STEPS
+        if not np.isfinite(loss):
+            raise RuntimeError(f"{tag}: non-finite loss {loss}")
+        trials_ms.append(dt * 1e3)
+        best = min(best, dt)
+    spread = (max(trials_ms) - min(trials_ms)) / max(trials_ms)
+    if spread > 0.15:
+        print(f"WARNING {tag}: inter-trial spread {spread:.0%} "
+              f"(trials {[f'{t:.2f}' for t in trials_ms]} ms)",
+              file=sys.stderr)
     flops = ops = None
     try:
         compiled = step.lower(state, design, ids, mask).compile()

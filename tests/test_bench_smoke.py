@@ -86,3 +86,48 @@ def test_bench_probe_gate_nulls_round_without_burning_points():
     assert result["detail"]["tunnel_probe"]["attempts"] >= 1
     # the gate held: no expensive point was ever attempted
     assert b"--- headline point" not in proc.stderr
+
+
+def test_integrity_gate_rejects_impossible_and_unstable_points():
+    """VERDICT r4 gate: bench.py must REFUSE to emit a point whose
+    derived MFU exceeds 1.0 or whose inter-trial spread exceeds 15% —
+    r4 committed merged-point artifacts at MFU 235-348% because an
+    aborted dispatch was timed as a success."""
+    sys.path.insert(0, REPO)
+    import bench
+
+    # physically impossible: 100 steps/s at 10 TFLOP/step on a
+    # 197 TFLOP/s chip would be MFU ~5
+    val, reason = bench.gate_point([100.0, 100.0, 100.0], trials=3,
+                                   flops_per_step=1e13, peak_tflops=197.0)
+    assert val is None and "MFU" in reason
+
+    # unstable clock: 3.5x spread across trials (r4's merged artifacts)
+    val, reason = bench.gate_point([35.0, 120.0, 100.0], trials=3)
+    assert val is None and "spread" in reason
+
+    # sane point passes and reports the best trial
+    val, reason = bench.gate_point([10.0, 9.8, 10.1], trials=3,
+                                   flops_per_step=1e9, peak_tflops=197.0)
+    assert reason is None and val == 10.1
+
+    # extra-trials window: one cold outlier followed by a stable window
+    # is accepted on the LAST `trials` samples
+    val, reason = bench.gate_point([2.0, 10.0, 9.9, 10.1], trials=3)
+    assert reason is None and val == 10.1
+
+
+def test_timed_trials_raises_on_nonfinite_loss():
+    """An aborted/NaN dispatch must raise, never return a timing."""
+    import numpy as np
+    import pytest
+
+    sys.path.insert(0, REPO)
+    import bench
+
+    def bad_step(state, design, ids, mask):
+        return state, {"loss": np.float32("nan")}
+
+    with pytest.raises(RuntimeError, match="non-finite"):
+        bench.timed_trials(bad_step, None, None, None, None, inner=1,
+                           trials=2, label="fake")
