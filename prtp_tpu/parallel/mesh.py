@@ -35,3 +35,34 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 def batch_sharding(mesh: Mesh, axis: str = DP_AXIS) -> NamedSharding:
     return NamedSharding(mesh, P(axis))
+
+
+def stacked_batch_sharding(mesh: Mesh, ndim: int,
+                           axis: str = DP_AXIS) -> NamedSharding:
+    """Sharding for a stacked batch: LAST axis on ``dp``, the leading
+    (steps / design-group) axes replicated — matches the
+    ``(n_steps, B)`` and merged ``(n_steps, K, B)`` layouts of
+    :func:`prtp_tpu.trainer.make_scan_train_step` inputs."""
+    return NamedSharding(mesh, P(*([None] * (ndim - 1) + [axis])))
+
+
+def mesh_from_options(options) -> Mesh | None:
+    """Resolve the ``--dp`` / ``--mesh_shape`` CLI flags to a Mesh.
+
+    ``--dp`` alone = all visible devices; ``--mesh_shape N`` = the
+    first N (an explicit mesh implies ``--dp``). Returns None when
+    neither flag is given — the single-device path. A multi-dim
+    ``--mesh_shape`` is rejected loudly: the CLI drives 1-D data
+    parallelism; the 2-D dp x gp edge sharding is the
+    :mod:`prtp_tpu.parallel.graph_shard` library API.
+    """
+    if not (getattr(options, "dp", False)
+            or getattr(options, "mesh_shape", None)):
+        return None
+    shape = getattr(options, "mesh_shape", None)
+    if shape and len(shape) > 1:
+        raise ValueError(
+            f"--mesh_shape {shape}: the train/test CLIs run a 1-D "
+            "data-parallel mesh; for the 2-D (dp, gp) graph-sharded "
+            "step use prtp_tpu.parallel.graph_shard directly")
+    return make_mesh(shape[0] if shape else None)

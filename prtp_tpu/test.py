@@ -63,8 +63,9 @@ def _feat_adjusted(parsed, options):
     return parsed
 
 
-def test(options, designs):
+def test(options, designs, mesh=None):
     """Evaluate all paths of each design (reference test(), :124-318)."""
+    from .parallel.mesh import batch_sharding, replicated
     res_save_path = os.path.join(options.model_saving_dir, "predict.txt")
     overall = dict(loss=0.0, r2=0.0, acc=0.0, recall=0.0, precision=0.0,
                    f1=0.0)
@@ -87,13 +88,24 @@ def test(options, designs):
                              pad_to=bucket, cnn_patches=want_patches)
     model, state, _config = load_model_state(options, first_pack)
     eval_step = make_eval_step(model, options.task)
+    if mesh is not None:
+        state = jax.device_put(state, replicated(mesh))
 
     for case_idx, (design, parsed) in enumerate(zip(designs, parsed_all)):
         pack = pack_design(parsed, map_size=options.map_size, pad_to=bucket,
                            cnn_patches=want_patches)
         start_time = time()
         all_ids = np.arange(parsed["num_paths"], dtype=np.int64)
-        pids, mask = pad_batch(all_ids, pack.num_paths)
+        cap = pack.num_paths
+        if mesh is not None:
+            n_dev = mesh.devices.size
+            cap = -(-cap // n_dev) * n_dev
+        pids, mask = pad_batch(all_ids, cap)
+        if mesh is not None:
+            pack = jax.device_put(pack, replicated(mesh))
+            bsh = batch_sharding(mesh)
+            pids = jax.device_put(pids, bsh)
+            mask = jax.device_put(mask, bsh)
         preds, mets = eval_step(state, pack, pids, mask)
         preds = np.asarray(preds)[: parsed["num_paths"]]
         runtime = time() - start_time
@@ -169,14 +181,17 @@ def _plot_relative_error(options, case_idx, levels, preds, arrival):
 def main(argv=None):
     options = get_options(argv)
     from .parallel.distributed import maybe_initialize
+    from .parallel.mesh import mesh_from_options
     maybe_initialize()  # multi-host slices; env-gated no-op otherwise
+    from .train import select_device
+    select_device(options)
     if options.compile_cache_dir:
         from .utils.cache import enable_compile_cache
         enable_compile_cache(options.compile_cache_dir)  # TPU-only
     options.cell_feat_dim -= options.feat_reduce[0]
     options.net_feat_dim -= options.feat_reduce[1]
     designs = get_design_list(options.data_save_path, "test")
-    test(options, designs)
+    test(options, designs, mesh=mesh_from_options(options))
 
 
 if __name__ == "__main__":

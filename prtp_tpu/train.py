@@ -60,9 +60,10 @@ def _load(usage, options, design):
         if_norm=options.norm)
 
 
-def validate(options, val_designs, cache_val, eval_step, state):
+def validate(options, val_designs, cache_val, eval_step, state, mesh=None):
     """Per-design validation on the persisted val split; one padded batch
     per design (reference validate(), src/train.py:137-291)."""
+    from .parallel.mesh import batch_sharding, replicated
     overall = dict(loss=0.0, r2=0.0, acc=0.0, recall=0.0, precision=0.0,
                    f1=0.0)
     res = []
@@ -85,7 +86,18 @@ def validate(options, val_designs, cache_val, eval_step, state):
         n_cases += 1
         # pad to the bucketed path capacity => one eval compile for all
         # designs
-        pids, mask = pad_batch(ids, max(pack.num_paths, len(ids), 1))
+        cap = max(pack.num_paths, len(ids), 1)
+        if mesh is not None:
+            n_dev = mesh.devices.size
+            cap = -(-cap // n_dev) * n_dev  # divisible by the mesh
+        pids, mask = pad_batch(ids, cap)
+        if mesh is not None:
+            pack = jax.device_put(pack, replicated(mesh))
+            # keep the replicated copy so later validations skip the H2D
+            cache_val._cache[design] = (pack, parsed)
+            bsh = batch_sharding(mesh)
+            pids = jax.device_put(pids, bsh)
+            mask = jax.device_put(mask, bsh)
         _preds, mets = eval_step(state, pack, pids, mask)
         loss = float(mets["loss"])
         r2 = float(mets["r2"])
@@ -112,6 +124,20 @@ def train(options, seed):
     # feat_reduce shrinks the declared dims (reference src/train.py:407-408)
     options.cell_feat_dim -= options.feat_reduce[0]
     options.net_feat_dim -= options.feat_reduce[1]
+
+    # --dp / --mesh_shape: 1-D data-parallel mesh over the path batch
+    # (the batch axis shards across ICI; XLA inserts the gradient psum
+    # — parallel/dp.py's jit-sharding route, wired into the CLI)
+    from .parallel.mesh import (batch_sharding, mesh_from_options,
+                                replicated, stacked_batch_sharding)
+    mesh = mesh_from_options(options)
+    if mesh is not None:
+        n_dev = mesh.devices.size
+        # every padded batch is exactly --batch_size long; round it up
+        # to a mesh multiple (pad rows carry zero loss weight => free)
+        options.batch_size = -(-options.batch_size // n_dev) * n_dev
+        print(f"--- data-parallel mesh: {n_dev} x {mesh.devices[0].platform}"
+              f" devices, batch_size {options.batch_size}")
 
     model = model_from_options(options)
     tx = make_optimizer(options.learning_rate, options.weight_decay,
@@ -235,6 +261,12 @@ def train(options, seed):
         ckpt.save_checkpoint(options.model_saving_dir, state, config)
         print("creating model in:", options.model_saving_dir)
 
+    if mesh is not None:
+        # replicate params/opt state over the mesh; the merged pack too
+        state = jax.device_put(state, replicated(mesh))
+        if merged_pack is not None:
+            merged_pack = jax.device_put(merged_pack, replicated(mesh))
+
     with open(os.path.join(options.model_saving_dir, "seed.txt"), "a") as f:
         f.write(str(seed))
 
@@ -251,6 +283,12 @@ def train(options, seed):
     def run_chunk(state, pack, chunk):
         ids2d = jnp.stack([c[0] for c in chunk])
         mask2d = jnp.stack([c[1] for c in chunk])
+        if mesh is not None:
+            # shard the batch axis over dp; jit compiles the SPMD step
+            # from the input shardings (grads psum over ICI)
+            sh = stacked_batch_sharding(mesh, ids2d.ndim)
+            ids2d = jax.device_put(ids2d, sh)
+            mask2d = jax.device_put(mask2d, sh)
         return scan_step(state, pack, ids2d, mask2d)
 
     max_f1 = float(state.best_f1)
@@ -285,6 +323,9 @@ def train(options, seed):
             else:
                 pack, parsed = cache_tr.get(
                     design, lambda d=design: _load("train", options, d))
+                if mesh is not None:
+                    pack = jax.device_put(pack, replicated(mesh))
+                    cache_tr._cache[design] = (pack, parsed)
                 if len(design_units) > 1:
                     # pack the next design while this one trains
                     nxt = design_units[(unit_idx + 1) % len(design_units)][0]
@@ -331,7 +372,8 @@ def train(options, seed):
                 bidx = end_idx + 1
                 if should_validate:
                     _res, val_f1, val_r2 = validate(
-                        options, val_designs, cache_val, eval_step, state)
+                        options, val_designs, cache_val, eval_step, state,
+                        mesh=mesh)
                     if options.task == "cls":
                         improved = val_f1 > max_f1
                     elif options.task == "reg":
@@ -354,10 +396,26 @@ def train(options, seed):
     return state
 
 
+def select_device(options):
+    """Honor the reference's ``--gpu`` device index (src/options.py:
+    the device selector) as "which accelerator chip": validates the
+    index loudly instead of silently ignoring it."""
+    if not getattr(options, "gpu", 0):
+        return
+    devs = jax.devices()
+    if options.gpu >= len(devs):
+        raise SystemExit(
+            f"--gpu {options.gpu}: only {len(devs)} visible device(s) on "
+            f"backend {jax.default_backend()} (indices 0"
+            f"..{len(devs) - 1})")
+    jax.config.update("jax_default_device", devs[options.gpu])
+
+
 def main(argv=None):
     options = get_options(argv)
     from .parallel.distributed import maybe_initialize
     maybe_initialize()  # multi-host slices; env-gated no-op otherwise
+    select_device(options)
     seed = options.seed
     random.seed(seed)
     np.random.seed(seed)
