@@ -1,5 +1,5 @@
 #!/bin/bash
-# Round-4 tunnel watcher: probe the TPU tunnel every ~3 min; on the
+# Round-5 tunnel watcher: probe the TPU tunnel every ~3 min; on the
 # first healthy window run the ordered measurement session
 # (scripts/tpu_session.sh). After a completed session, keep probing and
 # refresh the headline bench each later window so the freshest verified
@@ -7,7 +7,8 @@
 cd /root/repo
 W=/tmp/tunnel_watcher.log
 SESSION_DONE=/tmp/tpu_session_done
-echo "watcher start $(date +%H:%M:%S)" >> $W
+SESSION_EVIDENCE=/tmp/bench_full_r5.json
+echo "watcher start $(date +%m%d_%H:%M:%S)" >> $W
 
 probe() {
     timeout 150 python bench.py --point probe > /tmp/probe_out.json 2>>$W
@@ -16,32 +17,47 @@ probe() {
     [ $rc -eq 0 ] && grep -q '"ok": true' /tmp/probe_out.json
 }
 
+valid_json() {
+    python -c 'import json,sys; json.load(open(sys.argv[1]))' "$1" 2>/dev/null
+}
+
 while true; do
     if probe; then
-        echo "=== probe OK $(date +%H:%M:%S)" >> $W
+        echo "=== probe OK $(date +%m%d_%H:%M:%S)" >> $W
         if [ ! -f $SESSION_DONE ]; then
             bash scripts/tpu_session.sh
-            touch $SESSION_DONE
-            if [ -s /tmp/bench_full_r4.json ]; then
-                cp /tmp/bench_full_r4.json \
-                   results/tpu_runs/bench_r4_session_$(date +%H%M%S).json
+            # gate completion on evidence: the driver-form artifact must
+            # exist AND parse (a session that ran into a dead tunnel
+            # mid-way retries at the next window)
+            if [ -s $SESSION_EVIDENCE ] && valid_json $SESSION_EVIDENCE; then
+                touch $SESSION_DONE
+                cp $SESSION_EVIDENCE \
+                   results/tpu_runs/bench_r5_session_$(date +%m%d_%H%M%S).json
+                python scripts/runs_readme.py >> $W 2>&1
+                echo "=== session complete $(date +%m%d_%H:%M:%S)" >> $W
+            else
+                echo "=== session INCOMPLETE (no valid $SESSION_EVIDENCE);" \
+                     "will retry next window" >> $W
             fi
-            echo "=== session complete $(date +%H:%M:%S)" >> $W
         else
             # refresh the driver-form artifact in a later window so the
             # freshest verified number is on disk for _last_verified()
-            TS=$(date +%H%M%S)
+            TS=$(date +%m%d_%H%M%S)
+            OUT=results/tpu_runs/bench_r5_refresh_$TS.json
             BENCH_DTYPE=bfloat16 BENCH_TIME_BUDGET=1200 timeout 1300 \
-                python bench.py \
-                > results/tpu_runs/bench_r4_refresh_$TS.json 2>>$W
-            echo "refresh rc=$? $(date +%H:%M:%S)" >> $W
-            grep -q '"value": null' \
-                results/tpu_runs/bench_r4_refresh_$TS.json 2>/dev/null \
-                && rm -f results/tpu_runs/bench_r4_refresh_$TS.json
+                python bench.py > $OUT 2>>$W
+            echo "refresh rc=$? $(date +%m%d_%H:%M:%S)" >> $W
+            # keep only intact, non-null artifacts: a timeout-killed run
+            # leaves a truncated file; a dead tunnel leaves value:null
+            if ! valid_json $OUT || grep -q '"value": null' $OUT; then
+                rm -f $OUT
+            else
+                python scripts/runs_readme.py >> $W 2>&1
+            fi
             sleep 900
         fi
     else
-        echo "probe dead $(date +%H:%M:%S)" >> $W
+        echo "probe dead $(date +%m%d_%H:%M:%S)" >> $W
     fi
     sleep 170
 done
