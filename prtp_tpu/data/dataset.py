@@ -113,6 +113,10 @@ def load_design_shapes(path: str) -> dict:
         levels.append((lvl_nodes[node_off[i]: node_off[i + 1]],
                        None, None))
     return {
+        # marker asserted by graph.pack_design: this dict is for
+        # bucket_shape ONLY (src ids / features / rasters are None
+        # placeholders that would fail opaquely in the full pipeline)
+        "shapes_only": True,
         "num_nodes": int(z["num_nodes"]),
         "num_paths": int(z["num_paths"]),
         "cell_edges": (None, z["cell_dst"]),

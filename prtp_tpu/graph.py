@@ -749,6 +749,10 @@ def pack_design(parsed, map_size=128, align=128, compute_dtype=jnp.float32,
     common bucket so multiple designs can be stacked (multi-design
     batching / design-axis data parallelism).
     """
+    assert not parsed.get("shapes_only"), \
+        ("pack_design got a load_design_shapes() dict — those carry "
+         "None placeholders and serve bucket_shape only; load the full "
+         "design with load_design_npz/load_single_design")
     if scan_groups == 0 and not exact_levels:
         # --scan_groups 0 = auto: smallest G within 15% of exact compute
         levels = parsed["levels"]
