@@ -38,9 +38,19 @@ BASE = ["--cnn_outdim", "8", "--out_dim", "16", "--hidden_dim", "32",
         "--batch_size", "64", "--learning_rate", "3e-3",
         "--cell_feat_dim", "13", "--net_feat_dim", "3"]
 
+# the reference's 14-design corpus names (top_map,
+# /root/reference/src/generate_data.py:7-23) — the synthetic generator
+# gives each a different num_paths/depth, so the 14-design pack
+# exercises corpus-scale behavior (bucketed-eval single compile,
+# DesignCache growth) at the reference's corpus shape
+TOP14 = ("darkriscv", "sha3", "smallboom", "rocket", "xgate", "ae18",
+         "or1200", "hwacha", "steelcore", "tinyrocket", "chacha",
+         "arm9", "r8051", "jpeg")
+
 # (name, corpus, extra CLI flags). Corpus 'L': 2-channel 64px rasters ->
 # LayoutNet's /4 pooling gives 16x16 maps. Corpus 'U': 3-channel 128px
 # rasters -> UNet's /2 gives 64x64 maps (SURVEY §7 raster-size note).
+# Corpus 'L14': the 14 reference design names at heterogeneous sizes.
 CONFIGS = [
     ("reg_fusion", "L", []),
     ("reg_gnn_only", "L", ["--no_cnn"]),
@@ -48,11 +58,13 @@ CONFIGS = [
     ("reg_fusion_attn", "L", ["--attn"]),
     ("reg_fusion_unet", "U", ["--unet"]),
     ("cls_fusion", "L", ["--task", "cls", "--nlabels", "2"]),
+    ("reg_fusion_14", "L14", []),
 ]
 
 CORPORA = {
     "L": dict(cnn_channels=2, cnn_hw=64, map_size=16),
     "U": dict(cnn_channels=3, cnn_hw=128, map_size=64),
+    "L14": dict(cnn_channels=2, cnn_hw=64, map_size=16, designs=TOP14),
 }
 
 
@@ -90,10 +102,10 @@ def build_corpus(work, kind):
     # with ZERO criticals, making the cls task's best-F1 checkpoint
     # gate unreachable (F1 stays 0 over an all-negative split, so the
     # saved model would remain the init state)
-    synthetic.generate_corpus(raw, designs=("syn_a", "syn_b", "syn_c"),
-                              num_paths=30, depth=5,
-                              cnn_channels=cfg["cnn_channels"],
-                              cnn_hw=cfg["cnn_hw"])
+    synthetic.generate_corpus(
+        raw, designs=cfg.get("designs", ("syn_a", "syn_b", "syn_c")),
+        num_paths=30, depth=5,
+        cnn_channels=cfg["cnn_channels"], cnn_hw=cfg["cnn_hw"])
     _run("prtp_tpu.data.generate",
          ["--rawdata_path", raw, "--data_save_path", data,
           "--map_size", str(cfg["map_size"])], timeout=600)
@@ -125,12 +137,16 @@ def run_config(name, data, map_size, extra, epochs, out_root):
              "--val_interval", "50"] + BASE + extra)
     t0 = time.time()
     log(f"--- {name}: train ({epochs} epochs)")
-    _run("prtp_tpu.train", args, timeout=3600)
+    _run("prtp_tpu.train", args, timeout=7200)
     t_train = time.time() - t0
     t0 = time.time()
     log(f"--- {name}: eval")
-    _run("prtp_tpu.test", args, timeout=1200)
+    eval_out = _run("prtp_tpu.test", args, timeout=1200)
     t_eval = time.time() - t0
+    # per-design eval wall-clock from the CLI's own runtime prints
+    # (the reference's metric surface, src/test.py:163,258-259)
+    runtimes = [float(m) for m in
+                re.findall(r"case \d+, runtime: ([\d.]+)", eval_out)]
 
     batches, vals = parse_curve(os.path.join(mdl, "stdout.log"))
     with open(os.path.join(mdl, "predict.txt")) as f:
@@ -138,6 +154,7 @@ def run_config(name, data, map_size, extra, epochs, out_root):
     return dict(name=name, flags=" ".join(extra) or "(default)",
                 steps=len(batches), train_s=round(t_train, 1),
                 eval_s=round(t_eval, 1),
+                eval_runtimes=[round(t, 3) for t in runtimes],
                 first_loss=batches[0][1] if batches else None,
                 last_loss=batches[-1][1] if batches else None,
                 curve=vals,
@@ -159,14 +176,13 @@ def main():
     os.makedirs(args.out, exist_ok=True)
     sys.path.insert(0, REPO)
 
-    rows = []
     for name, kind, extra in CONFIGS:
         if args.configs and name not in args.configs:
             continue
         data = build_corpus(args.work, kind)
         r = run_config(name, data, CORPORA[kind]["map_size"], extra,
                        args.epochs, args.work)
-        rows.append(r)
+        r["epochs"] = args.epochs
         # keep the citable eval artifacts
         keep = os.path.join(args.out, name)
         shutil.rmtree(keep, ignore_errors=True)
@@ -178,8 +194,20 @@ def main():
         vis = os.path.join(r["model_dir"], "visual")
         if os.path.isdir(vis):
             shutil.copytree(vis, os.path.join(keep, "visual"))
+        # per-config summary JSON: RESULTS.md regenerates from ALL
+        # committed summaries, so a --configs subset run updates its
+        # row without clobbering the other configs' evidence
+        with open(os.path.join(keep, "summary.json"), "w") as f:
+            json.dump({k: v for k, v in r.items() if k != "model_dir"},
+                      f, indent=1)
         log(f"--- {name}: final {r['final']}")
 
+    rows = []
+    for name, _kind, _extra in CONFIGS:
+        summ = os.path.join(args.out, name, "summary.json")
+        if os.path.exists(summ):
+            with open(summ) as f:
+                rows.append(json.load(f))
     write_results_md(args.out, rows, args.epochs)
     print(json.dumps({r["name"]: r["final"] for r in rows}, indent=1))
 
@@ -190,14 +218,21 @@ def write_results_md(out, rows, epochs):
         "",
         "Produced by `python scripts/results_pack.py` driving the REAL",
         "CLIs (`python -m prtp_tpu.train` / `python -m prtp_tpu.test`)",
-        "on the synthetic 3-design corpus (`prtp_tpu.data.synthetic`,",
-        "the exact raw layout the reference's `generate_data.py`",
-        f"expects), {epochs} epochs per config, CPU-forced subprocesses.",
+        "on synthetic corpora (`prtp_tpu.data.synthetic`, the exact raw",
+        "layout the reference's `generate_data.py` expects): the six",
+        "BASELINE configs on the 3-design corpus, plus `reg_fusion_14`",
+        "on a 14-design corpus named after the reference's `top_map`",
+        "(`src/generate_data.py:7-23`) with heterogeneous sizes —",
+        "corpus-scale behavior (bucketed-eval single compile,",
+        "DesignCache growth) at the reference's corpus shape.",
+        "CPU-forced subprocesses; epochs per config noted per section.",
         "Real-ASAP7 raw data does not ship with the reference",
         "(`src/generate_data.py:25-34`), so this pack is the committed",
         "substitute for BASELINE.md's run-both-stacks parity table;",
-        "eval artifacts (predict.txt, visual/*.png, config.json) are",
-        "committed next to this file, one directory per config.",
+        "eval artifacts (predict.txt, visual/*.png, config.json,",
+        "summary.json) are committed next to this file, one directory",
+        "per config. This file is regenerated from the summary.json",
+        "files — do not edit by hand.",
         "",
         "## Final eval metrics (predict.txt row per config)",
         "",
@@ -231,8 +266,16 @@ def write_results_md(out, rows, epochs):
                 and r["last_loss"] is not None
                 else "per-batch loss unavailable (no numeric batch "
                      "lines parsed)")
-        lines.append(f"- train: {r['steps']} batches in {r['train_s']}s; "
-                     f"{span}; eval {r['eval_s']}s")
+        lines.append(f"- train: {r['steps']} batches"
+                     f" ({r.get('epochs', '?')} epochs)"
+                     f" in {r['train_s']}s; {span}; eval {r['eval_s']}s")
+        rts = r.get("eval_runtimes") or []
+        if rts:
+            lines.append(
+                f"- per-design eval wall-clock over {len(rts)} designs: "
+                f"mean {sum(rts) / len(rts):.2f}s, max {max(rts):.2f}s, "
+                f"min {min(rts):.2f}s (single bucketed executable; the "
+                f"first design carries the one compile)")
         lines.append("")
         lines.append("| val # | R2 | recall | F1 |")
         lines.append("|---|---|---|---|")

@@ -49,6 +49,34 @@ def test_bucketed_eval_compiles_once():
         "make every design share ONE executable")
 
 
+def test_bucketed_eval_compiles_once_at_14_designs():
+    """The reference corpus is 14 designs (top_map,
+    src/generate_data.py:7-23); the single-compile property must hold
+    at that corpus scale with heterogeneous level profiles."""
+    rng = np.random.default_rng(7)
+    profiles = [list(rng.integers(4, 40, size=int(rng.integers(3, 9))))
+                for _ in range(14)]
+    parsed_list = [make_random_design(p, cell_feat_dim=12, net_feat_dim=3,
+                                      map_size=16, cnn_hw=64, seed=60 + i)
+                   for i, p in enumerate(profiles)]
+    bucket = bucket_shape(parsed_list, map_size=16)
+    model = PathModel(out_dim=16, hidden_dim=32, cnn_outdim=8, map_size=16,
+                      global_dim=8)
+    pack0 = pack_design(parsed_list[0], map_size=16, pad_to=bucket)
+    state = init_state(model, make_optimizer(1e-3), pack0,
+                       jax.random.PRNGKey(0))
+    ev = make_eval_step(model, "reg")
+    for parsed in parsed_list:
+        pack = pack_design(parsed, map_size=16, pad_to=bucket)
+        ids = np.arange(parsed["num_paths"], dtype=np.int64)
+        pids, mask = pad_batch(ids, max(pack.num_paths, len(ids), 1))
+        _preds, mets = ev(state, pack, pids, mask)
+        assert np.isfinite(float(mets["loss"]))
+    assert ev._cache_size() == 1, (
+        f"eval specialized {ev._cache_size()} times over the 14-design "
+        "corpus; the bucket must make every design share ONE executable")
+
+
 def test_bucketed_eval_matches_exact_packing():
     """The bucketed eval numbers are the exact-packing numbers: same
     params, same paths, packing changes only padding."""
