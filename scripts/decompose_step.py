@@ -185,14 +185,35 @@ def main():
         "",
         f"Branch additivity: GNN-only + CNN-only - full = "
         f"{overlap:.2f} ms (the doubly-counted fusion-head + optimizer "
-        f"+ dispatch floor). The GNN branch cost "
-        f"({gnn['ms_per_step']:.2f} ms at "
-        f"{(gnn['gflops_per_step'] or 0):.1f} GFLOP/step) is "
-        f"launch-bound: its per-level irregular ops are far below the "
-        f"MXU roofline, so wall-clock tracks the sequential fused-region "
-        f"count, not FLOPs. The merged super-graph (`--merge_designs`) "
-        f"amortizes exactly this floor across K designs (bench "
-        f"`merged` point).",
+        f"+ dispatch floor).",
+        "",
+        "## Launch-floor arithmetic",
+        "",
+        "If the step were FLOPs-bound, ms/step would track GFLOP/step; "
+        "if it is fused-region(launch)-bound, ms/step tracks the "
+        "sequential region count and the implied per-region time is "
+        "roughly constant across configs:",
+        "",
+        "| config | ms/step | XLA ops | us/region (ms/ops) | "
+        "GFLOP/step | TFLOP/s |",
+        "|---|---|---|---|---|---|",
+    ]
+    for r in rows:
+        if r.get("ops") and r["gflops_per_step"]:
+            us = r["ms_per_step"] * 1e3 / r["ops"]
+            tf = r["gflops_per_step"] / r["ms_per_step"]
+            lines.append(
+                f"| {r['config']} | {r['ms_per_step']:.2f} | "
+                f"{r['ops']} | {us:.1f} | "
+                f"{r['gflops_per_step']:.1f} | {tf:.2f} |")
+    lines += [
+        "",
+        "A near-constant us/region column (at far-below-peak TFLOP/s) "
+        "is the launch-bound signature: wall-clock = region count x "
+        "dispatch floor, not FLOPs / peak. The merged super-graph "
+        "(`--merge_designs`, bench `merged` point) amortizes exactly "
+        "this floor: K designs share ONE level walk, so the same "
+        "region count propagates K designs per step.",
         "",
     ]
     text = "\n".join(lines)
