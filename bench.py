@@ -565,7 +565,6 @@ def _child_point(point):
             rejected=reject,
             gnn_unroll=GNN_UNROLL,
             flat_adam=_env("FLAT_ADAM", 1) == 1,
-            gnn_batched=os.environ.get("PRTP_GNN_BATCHED", "0") == "1",
             dtype=os.environ.get("BENCH_DTYPE", "float32"),
             device_kind=jax.devices()[0].device_kind,
             nodes=int(parsed["num_nodes"]),
@@ -806,7 +805,8 @@ def main():
     #     is repeatedly killed by this container's TPU tunnel and has
     #     never landed at this size, but scripts/warm_cache.py can land
     #     it offline once, after which the executable loads in seconds
-    #     and this attempt wins at ~1.5x the grouped step rate;
+    #     and this attempt wins (the exact-vs-grouped ratio at 300k is
+    #     unmeasured until that compile lands — see tpu_session.sh);
     # (2) grouped-scan (near-exact compute, G scan bodies, ~40s compile);
     # (3) the padded single scan (~20s compile; a number the tunnel
     #     can't starve). BENCH_BIG_PACKING overrides the first attempt

@@ -332,18 +332,14 @@ class TimeGNN(nn.Module):
             # 5th slot: bf16 MXU matmuls with f32 accumulation inside
             # the fused VJP (ops/fused_gnn._mm); carries/reduces stay
             # f32. 6th: attention head count (0 = softmax reduce).
-            # 7th: cross-level batched form — OFF by default (round 2
-            # measured the per-level walk faster in f32: HBM-traffic-
-            # bound, MODEL_NOTES 'cross-level matmul batching'); env
-            # PRTP_GNN_BATCHED=1 is the bf16-era re-test lever, read at
-            # trace time (bench runs each point in a fresh subprocess).
-            import os
+            # (A 7th cross-level-batched slot was measured — f32
+            # regression r2, bf16 parity r5 — and deleted; see
+            # ops/fused_gnn._unpack_config.)
             config = (num_rows, self.dgl_parity,
                       tuple(g.cell_off), tuple(g.net_off),
                       (jnp.dtype(self.mlp_dtype).name
                        if self.mlp_dtype is not None else None),
-                      self.num_heads if self.flag_attn else 0,
-                      os.environ.get("PRTP_GNN_BATCHED", "0") == "1")
+                      self.num_heads if self.flag_attn else 0)
             blocks = tuple(
                 dict(cell_feat=g.cell_feat_lvl[k],
                      net_feat=g.net_feat_lvl[k],

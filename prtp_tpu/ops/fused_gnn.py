@@ -131,23 +131,25 @@ def _attn_bwd(m, valid, w, nh, d_out, alpha):
 
 def _unpack_config(config):
     """(num_rows, dgl_parity, cell_off, net_off[, mm_dtype_str,
-    num_heads, batched]) — the optional 5th element ('bfloat16') selects
+    num_heads]) — the optional 5th element ('bfloat16') selects
     bf16 MXU matmuls with f32 accumulation for every _mlp/_mlp_grads
     product (everything else — softmax, attention, means, scatters, the
     h/dh carries — stays f32); the optional 6th element selects the
     attention cell reduce with that head count (0/absent = mailbox
-    softmax reduce); the optional 7th element selects the CROSS-LEVEL
-    BATCHED form (hoisted self-MLPs, one backward mailbox gather,
-    deferred wgrads) — round 2 measured the per-level form faster in
-    f32 (MODEL_NOTES 'cross-level matmul batching — REJECTED'), so
-    per-level is the default and batched is the bf16-era re-test lever
-    (env PRTP_GNN_BATCHED=1, see models.gnn.TimeGNN._call_exact)."""
+    softmax reduce).
+
+    A 7th element once selected a CROSS-LEVEL BATCHED form (hoisted
+    self-MLPs, one backward mailbox gather, deferred wgrads). It was
+    measured slower in f32 (r2: 58.8 vs 63.1 steps/s, MODEL_NOTES
+    'cross-level matmul batching — REJECTED') and at parity in bf16
+    (r5: 80.46 vs 78.7-80.4 steps/s across windows), so per the r4
+    verdict's promote-or-delete rule it was DELETED in round 5 (git
+    history has it: commit 312aac7)."""
     num_rows, dgl_parity, cell_off, net_off = config[:4]
     mm = jnp.bfloat16 if len(config) > 4 and config[4] == "bfloat16" \
         else None
     nh = config[5] if len(config) > 5 else 0
-    batched = bool(config[6]) if len(config) > 6 else False
-    return num_rows, dgl_parity, cell_off, net_off, mm, nh, batched
+    return num_rows, dgl_parity, cell_off, net_off, mm, nh
 
 
 def _forward_impl(config, params, h0, blocks):
@@ -158,28 +160,10 @@ def _forward_impl(config, params, h0, blocks):
     sources — the common case, the driver was just written by this
     pair's cell half — never touch HBM again). Pair 0 skips the gather
     entirely: PIs have no in-edges, its mailbox is all-dummy."""
-    (num_rows, dgl_parity, cell_off, net_off, mm, nh,
-     batched) = _unpack_config(config)
+    (num_rows, dgl_parity, cell_off, net_off, mm,
+     nh) = _unpack_config(config)
     h = h0
     d = h.shape[1]
-    if batched:
-        # HOISTED self-MLPs: fc_cell_self/fc_net_self read only the
-        # static feature tables (never h), so the whole walk's worth
-        # runs as ONE large matmul pair per etype before the level loop
-        # — removes 4 small matmul regions per level pair, at the cost
-        # of materializing the concatenated pre-activation tables in
-        # HBM at the custom-VJP boundary. Row-batching an X@W changes
-        # nothing per row, so the per-level slices below are
-        # bit-identical to the per-level matmuls.
-        pre_cell_all = _mlp(params["fc_cell_self"],
-                            jnp.concatenate(
-                                [b["cell_feat"] for b in blocks],
-                                axis=0), mm)
-        pre_net_all = _mlp(params["fc_net_self"],
-                           jnp.concatenate(
-                               [b["net_feat"] for b in blocks],
-                               axis=0), mm)
-    oc = on = 0
     for k, b in enumerate(blocks):
         pn_c, md_c = b["cell_mail"].shape
         # ---- one global gather for both halves ----
@@ -189,11 +173,7 @@ def _forward_impl(config, params, h0, blocks):
             gat = None
         # ---- cell half (even level 2k) ----
         valid = (b["cell_mail"] != num_rows)[..., None]
-        if batched:
-            pre = pre_cell_all[oc: oc + pn_c]
-            oc += pn_c
-        else:
-            pre = _mlp(params["fc_cell_self"], b["cell_feat"], mm)
+        pre = _mlp(params["fc_cell_self"], b["cell_feat"], mm)
         if k > 0:  # level 0 drops the neighbor term
             m_c = gat[: pn_c * md_c].reshape(pn_c, md_c, d)
             if nh:
@@ -218,13 +198,7 @@ def _forward_impl(config, params, h0, blocks):
             [new, prior, jnp.zeros((1, d), h.dtype)], axis=0)
         m_n = buf[b["net_local_idx"]]  # (pn_n, md_n, D) local gather
         neigh_n, _cnt = _mean_sum(m_n, validn)
-        if batched:
-            pn_n = b["net_feat"].shape[0]
-            pre_n = pre_net_all[on: on + pn_n] + neigh_n
-            on += pn_n
-        else:
-            pre_n = _mlp(params["fc_net_self"], b["net_feat"], mm) \
-                + neigh_n
+        pre_n = _mlp(params["fc_net_self"], b["net_feat"], mm) + neigh_n
         new_n = jax.nn.relu(pre_n)
         if dgl_parity:
             hasn = validn.any(axis=1)
@@ -253,41 +227,15 @@ def _fwd(config, params, h0, blocks):
 
 
 def _bwd(config, res, g):
-    (num_rows, dgl_parity, cell_off, net_off, mm, nh,
-     batched) = _unpack_config(config)
+    (num_rows, dgl_parity, cell_off, net_off, mm,
+     nh) = _unpack_config(config)
     params, h0, blocks, hf = res
     d = hf.shape[1]
     dh = g
     dparams = jax.tree_util.tree_map(jnp.zeros_like, params)
-    # Under ``batched``, self-MLP wgrads are DEFERRED: the walk only
-    # produces each pair's d_pre cotangent; one batched _mlp_grads over
-    # the concatenated feature tables runs after the loop (mirrors the
-    # hoisted forward). The neigh-MLP wgrads defer the same way (its
-    # d_out IS d_pre_c); only its dx chain (3 matmuls) stays inline
-    # because the reverse walk consumes d_f sequentially. The default
-    # per-level form instead runs _mlp_grads inside the walk — round 2
-    # measured it faster in f32 (HBM-traffic-bound, MODEL_NOTES).
-    d_pre_cs = [None] * len(blocks)
-    d_pre_ns = [None] * len(blocks)
-    f_list = [None] * len(blocks)
-    r_list = [None] * len(blocks)
-    da_list = [None] * len(blocks)
 
     def acc(tree, key, dp):
         tree[key] = jax.tree_util.tree_map(jnp.add, tree[key], dp)
-
-    # ONE batched mailbox gather for the whole reverse walk (batched
-    # form only): every level's backward reads mailboxes from the FINAL
-    # ``hf`` (each row is written exactly once, at its own level), so
-    # all the per-level ``hf[cell_mail]`` gathers collapse into a
-    # single region up front.
-    mail_sizes = [b["cell_mail"].size for b in blocks[1:]]
-    if batched and mail_sizes:
-        gat_all = hf[jnp.concatenate(
-            [b["cell_mail"].reshape(-1) for b in blocks[1:]])]
-        mail_off = [0]
-        for s in mail_sizes:
-            mail_off.append(mail_off[-1] + s)
 
     for k in reversed(range(len(blocks))):
         b = blocks[k]
@@ -306,13 +254,10 @@ def _bwd(config, res, g):
         else:
             d_pre_n = g_n * posn
             d_old_n = jnp.zeros_like(g_n)
-        if batched:
-            d_pre_ns[k] = d_pre_n
-        else:
-            dp_net, _dx = _mlp_grads(params["fc_net_self"],
-                                     b["net_feat"], d_pre_n, mm,
-                                     need_dx=False)
-            acc(dparams, "fc_net_self", dp_net)
+        dp_net, _dx = _mlp_grads(params["fc_net_self"],
+                                 b["net_feat"], d_pre_n, mm,
+                                 need_dx=False)
+        acc(dparams, "fc_net_self", dp_net)
         cnt = jnp.maximum(validn.sum(axis=1).astype(g_n.dtype), 1.0)
         d_mail_n = jnp.where(validn, (d_pre_n / cnt)[:, None, :], 0.0)
 
@@ -335,39 +280,20 @@ def _bwd(config, res, g):
         else:
             d_pre_c = g_c * posc
             d_old_c = jnp.zeros_like(g_c)
-        if batched:
-            d_pre_cs[k] = d_pre_c
-        else:
-            dp_self, _dx = _mlp_grads(params["fc_cell_self"],
-                                      b["cell_feat"], d_pre_c, mm,
-                                      need_dx=False)
-            acc(dparams, "fc_cell_self", dp_self)
+        dp_self, _dx = _mlp_grads(params["fc_cell_self"],
+                                  b["cell_feat"], d_pre_c, mm,
+                                  need_dx=False)
+        acc(dparams, "fc_cell_self", dp_self)
         if k > 0:
-            if batched:
-                md_c = b["cell_mail"].shape[1]
-                m = gat_all[mail_off[k - 1]: mail_off[k]].reshape(
-                    pn_c, md_c, d)
-            else:
-                m = hf[b["cell_mail"]]
+            m = hf[b["cell_mail"]]
             if nh:
                 w_attn = params["fc_attn2"]["kernel"]
                 f, alpha_c = _attn_sum(m, validc, w_attn, nh)
             else:
                 f, w = _softmax_sum(m, validc)
-            if batched:
-                # inline neigh-MLP dx chain only (wgrads defer below)
-                p_n = params["fc_cell_neigh"]
-                a_n = (_mm(f, p_n["fc0"]["kernel"], mm)
-                       + p_n["fc0"]["bias"])
-                d_r = _mm(d_pre_c, p_n["fc1"]["kernel"].T, mm)
-                d_a = d_r * (a_n > 0)
-                d_f = _mm(d_a, p_n["fc0"]["kernel"].T, mm)
-                f_list[k], r_list[k] = f, jax.nn.relu(a_n)
-                da_list[k] = d_a
-            else:
-                dp_neigh, d_f = _mlp_grads(params["fc_cell_neigh"], f,
-                                           d_pre_c, mm)
-                acc(dparams, "fc_cell_neigh", dp_neigh)
+            dp_neigh, d_f = _mlp_grads(params["fc_cell_neigh"], f,
+                                       d_pre_c, mm)
+            acc(dparams, "fc_cell_neigh", dp_neigh)
             if nh:
                 d_w, d_mail_c = _attn_bwd(m, validc, w_attn, nh, d_f,
                                           alpha_c)
@@ -393,35 +319,6 @@ def _bwd(config, res, g):
             dh = dh.at[b["merged_rows"]].add(
                 uniq.astype(dh.dtype),
                 indices_are_sorted=True, unique_indices=True)
-
-    if batched:
-        # deferred self-MLP wgrads: one batched matmul pass per etype
-        # over the concatenated tables (level order matches the hoisted
-        # forward); dx is never consumed (features are data), so skip
-        # its matmul.
-        dparams["fc_cell_self"], _ = _mlp_grads(
-            params["fc_cell_self"],
-            jnp.concatenate([b["cell_feat"] for b in blocks], axis=0),
-            jnp.concatenate(d_pre_cs, axis=0), mm, need_dx=False)
-        dparams["fc_net_self"], _ = _mlp_grads(
-            params["fc_net_self"],
-            jnp.concatenate([b["net_feat"] for b in blocks], axis=0),
-            jnp.concatenate(d_pre_ns, axis=0), mm, need_dx=False)
-        # deferred neigh-MLP wgrads: the walk saved (f, relu-hidden,
-        # d_a) per pair; its d_out is exactly d_pre_c. Two batched
-        # matmuls replace 2 per-pair matmuls + 4 per-pair accumulation
-        # adds.
-        if len(blocks) > 1:
-            f_all = jnp.concatenate(f_list[1:], axis=0)
-            r_all = jnp.concatenate(r_list[1:], axis=0)
-            da_all = jnp.concatenate(da_list[1:], axis=0)
-            do_all = jnp.concatenate(d_pre_cs[1:], axis=0)
-            dparams["fc_cell_neigh"] = {
-                "fc0": {"kernel": _mm(f_all.T, da_all, mm),
-                        "bias": da_all.sum(0)},
-                "fc1": {"kernel": _mm(r_all.T, do_all, mm),
-                        "bias": do_all.sum(0)},
-            }
 
     return dparams, dh, None
 

@@ -31,13 +31,11 @@ def _design(rng, level_sizes=(5, 9, 7, 11, 6, 8)):
     )
 
 
-@pytest.mark.parametrize("batched", ["0", "1"])
 @pytest.mark.parametrize("dgl_parity", [True, False])
-def test_fused_matches_autodiff(dgl_parity, batched, monkeypatch):
-    """Covers BOTH fused forms: per-level (default, the round-2
-    measured winner in f32) and cross-level batched
-    (PRTP_GNN_BATCHED=1, the bf16-era re-test lever)."""
-    monkeypatch.setenv("PRTP_GNN_BATCHED", batched)
+def test_fused_matches_autodiff(dgl_parity):
+    """The per-level fused form (the measured winner; the cross-level
+    batched form was measured at f32-regression/bf16-parity and
+    deleted in r5 — ops/fused_gnn._unpack_config)."""
     rng = np.random.default_rng(3)
     parsed = _design(rng)
     design = pack_design(parsed, map_size=16, exact_levels=True)
@@ -81,13 +79,11 @@ def test_fused_matches_autodiff(dgl_parity, batched, monkeypatch):
             err_msg=f"param grad mismatch at {jax.tree_util.keystr(path)}")
 
 
-@pytest.mark.parametrize("batched", ["0", "1"])
 @pytest.mark.parametrize("num_heads", [1, 2])
-def test_fused_attn_matches_autodiff(num_heads, batched, monkeypatch):
+def test_fused_attn_matches_autodiff(num_heads):
     """--attn on the exact path runs through the fused VJP too (r4):
     forward + param grads — including fc_attn2's score projection —
-    must match autodiff exactly, in both fused forms."""
-    monkeypatch.setenv("PRTP_GNN_BATCHED", batched)
+    must match autodiff exactly."""
     rng = np.random.default_rng(13)
     parsed = _design(rng)
     design = pack_design(parsed, map_size=16, exact_levels=True)
