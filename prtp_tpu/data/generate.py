@@ -49,12 +49,16 @@ SKIP_ENTRIES = {"util.py", "late_lib.json", "early_lib.json", "README.txt",
 
 
 def resolve_top_module(rawdata_path: str, design: str):
-    if design in TOP_MAP:
-        return TOP_MAP[design]
+    # a design's own top.txt wins over the name-keyed TOP_MAP: the
+    # local file describes THIS netlist (a synthetic corpus may reuse a
+    # reference design name with its own top module). Real ASAP7 raw
+    # dirs ship no top.txt, so reference behavior is unchanged there.
     top_txt = os.path.join(rawdata_path, design, "top.txt")
     if os.path.exists(top_txt):
         with open(top_txt) as f:
             return f.read().strip()
+    if design in TOP_MAP:
+        return TOP_MAP[design]
     return design
 
 

@@ -113,6 +113,21 @@ def test_report_parser_states_and_paths(corpus):
     assert db.pin2trans[some_pin] == pytest.approx(0.02)
 
 
+def test_top_txt_overrides_top_map(tmp_path):
+    """A design dir's own top.txt names THIS netlist's top module and
+    must win over the name-keyed reference TOP_MAP (a synthetic corpus
+    may reuse a reference design name, e.g. 'arm9', whose TOP_MAP entry
+    'arm9_compatiable_code' does not exist in the synthetic Verilog).
+    Dirs without top.txt keep the reference mapping."""
+    d = tmp_path / "arm9"
+    d.mkdir()
+    (d / "top.txt").write_text("top\n")
+    assert resolve_top_module(str(tmp_path), "arm9") == "top"
+    assert (resolve_top_module(str(tmp_path), "jpeg")
+            == "jpeg_top")  # TOP_MAP fallback (no top.txt)
+    assert resolve_top_module(str(tmp_path), "mystery") == "mystery"
+
+
 # --------------------------------------------------------- graph build
 
 def test_netlist_builder_structure(corpus, capsys):
