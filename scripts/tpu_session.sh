@@ -5,7 +5,8 @@
 # round-5 gate items (honest merged point, honest PROFILE.md, f32 A/B).
 cd /root/repo
 L=/tmp/tpu_session.log
-run() { echo "=== $(date +%m%d_%H:%M:%S) $*" >> $L; timeout "$@" >> $L 2>&1; echo "rc=$?" >> $L; }
+# every TPU touch holds the one-client lock (see tunnel_watcher.sh)
+run() { echo "=== $(date +%m%d_%H:%M:%S) $*" >> $L; flock /tmp/prtp_tpu.lock timeout "$@" >> $L 2>&1; echo "rc=$?" >> $L; }
 keep() {  # keep <name> <file>: preserve a child-point JSON artifact
     if [ -s "$2" ] && python -c 'import json,sys; json.load(open(sys.argv[1]))' "$2" 2>/dev/null; then
         cp "$2" results/tpu_runs/"$1"_$(date +%m%d_%H%M%S).json

@@ -8,10 +8,16 @@ cd /root/repo
 W=/tmp/tunnel_watcher.log
 SESSION_DONE=/tmp/tpu_session_done
 SESSION_EVIDENCE=/tmp/bench_full_r5.json
+# ONE TPU client at a time: two concurrent clients on this
+# tunnel-backed chip crash the TPU worker ("kernel fault"); every TPU
+# touch — probe, session, refresh, and any ad-hoc run — must hold this
+# lock (flock blocks until free).
+TPU_LOCK=/tmp/prtp_tpu.lock
 echo "watcher start $(date +%m%d_%H:%M:%S)" >> $W
 
 probe() {
-    timeout 150 python bench.py --point probe > /tmp/probe_out.json 2>>$W
+    flock $TPU_LOCK timeout 150 \
+        python bench.py --point probe > /tmp/probe_out.json 2>>$W
     local rc=$?
     tail -c 300 /tmp/probe_out.json >> $W
     [ $rc -eq 0 ] && grep -q '"ok": true' /tmp/probe_out.json
@@ -44,7 +50,8 @@ while true; do
             # freshest verified number is on disk for _last_verified()
             TS=$(date +%m%d_%H%M%S)
             OUT=results/tpu_runs/bench_r5_refresh_$TS.json
-            BENCH_DTYPE=bfloat16 BENCH_TIME_BUDGET=1200 timeout 1300 \
+            BENCH_DTYPE=bfloat16 BENCH_TIME_BUDGET=1200 \
+                flock $TPU_LOCK timeout 1300 \
                 python bench.py > $OUT 2>>$W
             echo "refresh rc=$? $(date +%m%d_%H:%M:%S)" >> $W
             # keep only intact, non-null artifacts: a timeout-killed run
