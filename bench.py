@@ -101,6 +101,20 @@ def _env(name, default):
     return int(os.environ.get(f"BENCH_{name}", default))
 
 
+def _gate_peak(peak_bf16):
+    """Integrity-gate roofline for the CURRENT compute dtype.
+
+    The *reported* mfu field always uses the honest bf16 MXU peak as
+    its denominator (CHIP_PEAKS comment), but the impossibility GATE
+    must use the dtype the point actually ran: an f32 run tops out at
+    ~1/2 the bf16 rate (f32 matmuls lower to multi-pass bf16), so
+    gating an f32 point against the bf16 peak would let a 2x-broken
+    clock through."""
+    if peak_bf16 and os.environ.get("BENCH_DTYPE", "float32") == "float32":
+        return peak_bf16 / 2.0
+    return peak_bf16
+
+
 # ----------------------------------------------------------- workload
 
 LEVEL_SIZES_NODES = _env("NODES", 80_000)
@@ -288,8 +302,8 @@ def bench_tpu(parsed, inference=True, trials=3, packing="exact"):
             log(f"xla cost_analysis: {xla_flops / 1e9:.2f} GFLOP/step")
     except Exception as e:
         log(f"cost_analysis unavailable: {e}")
-    peak = CHIP_PEAKS.get(jax.devices()[0].device_kind, {}) \
-        .get("peak_tflops_bf16")
+    peak = _gate_peak(CHIP_PEAKS.get(jax.devices()[0].device_kind, {})
+                      .get("peak_tflops_bf16"))
     best, reject = gate_point(sps, trials, xla_flops, peak)
     if reject:
         log(f"POINT REJECTED: {reject} (trials: "
@@ -398,8 +412,8 @@ def bench_merged(k=MERGED_K, trials=2, packing="exact"):
             xla_flops = float(ca["flops"])
     except Exception as e:
         log(f"merged cost_analysis unavailable: {e}")
-    peak = CHIP_PEAKS.get(jax.devices()[0].device_kind, {}) \
-        .get("peak_tflops_bf16")
+    peak = _gate_peak(CHIP_PEAKS.get(jax.devices()[0].device_kind, {})
+                      .get("peak_tflops_bf16"))
     best, reject = gate_point(sps, trials, xla_flops, peak)
     if reject:
         log(f"merged-{k} POINT REJECTED: {reject} (trials: "
@@ -847,20 +861,25 @@ def main():
     pt, pb = peaks["peak_tflops_bf16"], peaks["peak_hbm_gbps"]
     # parent-side belt-and-braces on the gate the children already ran:
     # an artifact of record must never carry an MFU > 1 anywhere
-    if pt and ach_tf / pt > 1.0:
+    # (gate against the dtype-correct roofline; the reported mfu field
+    # stays bf16-peak-denominated)
+    gpt = _gate_peak(pt)
+    if gpt and ach_tf / gpt > 1.0:
         print(json.dumps({
             "metric": "train_steps_per_sec", "value": None,
             "unit": "steps/s", "vs_baseline": None,
             "detail": {"error": f"REJECTED: headline implies MFU "
-                                f"{ach_tf / pt:.2f} > 1 (broken clock)",
+                                f"{ach_tf / gpt:.2f} > 1 (broken clock)",
                        "sps_trials": head.get("sps_trials"),
                        "tunnel_probe": tunnel,
                        "last_verified": _last_verified()}}))
         return
     merged_mfu = (merged_xla_flops * merged_sps / 1e12 / pt
                   if merged_sps and merged_xla_flops and pt else None)
-    if merged_mfu is not None and merged_mfu > 1.0:
-        log(f"merged point REJECTED at assembly: MFU {merged_mfu:.2f} > 1")
+    if (merged_mfu is not None
+            and merged_xla_flops * merged_sps / 1e12 / gpt > 1.0):
+        log(f"merged point REJECTED at assembly: MFU {merged_mfu:.2f} > 1"
+            " vs the dtype-correct roofline")
         merged_sps = merged_mfu = None
     result = {
         "metric": "train_steps_per_sec",

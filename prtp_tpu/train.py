@@ -94,7 +94,7 @@ def validate(options, val_designs, cache_val, eval_step, state, mesh=None):
         if mesh is not None:
             pack = jax.device_put(pack, replicated(mesh))
             # keep the replicated copy so later validations skip the H2D
-            cache_val._cache[design] = (pack, parsed)
+            cache_val.put(design, (pack, parsed))
             bsh = batch_sharding(mesh)
             pids = jax.device_put(pids, bsh)
             mask = jax.device_put(mask, bsh)
@@ -325,7 +325,7 @@ def train(options, seed):
                     design, lambda d=design: _load("train", options, d))
                 if mesh is not None:
                     pack = jax.device_put(pack, replicated(mesh))
-                    cache_tr._cache[design] = (pack, parsed)
+                    cache_tr.put(design, (pack, parsed))
                 if len(design_units) > 1:
                     # pack the next design while this one trains
                     nxt = design_units[(unit_idx + 1) % len(design_units)][0]
@@ -403,7 +403,7 @@ def select_device(options):
     if not getattr(options, "gpu", 0):
         return
     devs = jax.devices()
-    if options.gpu >= len(devs):
+    if options.gpu < 0 or options.gpu >= len(devs):
         raise SystemExit(
             f"--gpu {options.gpu}: only {len(devs)} visible device(s) on "
             f"backend {jax.default_backend()} (indices 0"

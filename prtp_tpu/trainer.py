@@ -346,6 +346,11 @@ class DesignCache:
             self._cache[key] = self._load_and_pack(loader)
         return self._cache[key]
 
+    def put(self, key, value):
+        """Replace the cached entry for ``key`` (e.g. with a
+        mesh-replicated copy of the pack, so later gets skip the H2D)."""
+        self._cache[key] = value
+
     def prefetch(self, key, loader):
         """Schedule load+pack of ``key`` in the background (idempotent)."""
         if key in self._cache or key in self._pending:

@@ -36,10 +36,19 @@ def _row_driver(name, doc):
     if isinstance(d.get("mfu"), (int, float)):
         notes.append(f"MFU {d['mfu'] * 100:.1f}%")
     if isinstance(merged.get("steps_per_sec"), (int, float)):
-        notes.append(f"merged {merged['steps_per_sec']:.1f} sps"
-                     + (f" (MFU {merged['mfu'] * 100:.1f}%)"
-                        if isinstance(merged.get("mfu"), (int, float))
-                        else ""))
+        mmfu = merged.get("mfu")
+        if isinstance(mmfu, (int, float)) and mmfu > 1.0:
+            # pre-gate (r2-r4) artifact: its merged loop never fetched a
+            # value, so aborted dispatches timed as successes — the
+            # merged/MFU fields are the retracted broken-clock numbers.
+            # The HEADLINE value in the same file is valid (that loop
+            # always fetched the loss per trial).
+            notes.append(f"merged RETRACTED pre-gate broken clock "
+                         f"(claimed MFU {mmfu * 100:.0f}%)")
+        else:
+            notes.append(f"merged {merged['steps_per_sec']:.1f} sps"
+                         + (f" (MFU {mmfu * 100:.1f}%)"
+                            if isinstance(mmfu, (int, float)) else ""))
     if isinstance(big.get("steps_per_sec"), (int, float)):
         notes.append(f"big {big['steps_per_sec']:.1f} sps "
                      f"({big.get('packing')})")
@@ -128,8 +137,13 @@ def main():
         lines.append(f"| `{name}` | {kind} | {headline} | {notes} |")
     lines.append("")
     if best:
-        lines.append(f"Best verified full-bench headline: "
-                     f"**{best[0]:.2f} steps/s** (`{best[1]}`).")
+        lines.append(
+            f"Best verified full-bench headline: **{best[0]:.2f} steps/s**"
+            f" (`{best[1]}`). Headline values are valid across all rounds"
+            " (that loop always fetched the loss per timed trial);"
+            " merged/MFU fields in pre-gate (r2-r4) artifacts are the"
+            " retracted broken-clock numbers and are flagged per-row"
+            " above.")
     lines.append("")
     lines.append("Regenerate with `python scripts/runs_readme.py`.")
     out = os.path.join(RUNS, "README.md")

@@ -19,9 +19,10 @@ keep head_r5 /tmp/pt_head.json
 # 2. f32 A/B headline (VERDICT r4 missing #4)
 BENCH_DTYPE=float32 run 600 bash -c 'python bench.py --point headline > /tmp/pt_head_f32.json'
 keep head_r5_f32 /tmp/pt_head_f32.json
-# 2b. PRTP_GNN_BATCHED same-window A/B (promote-or-delete decision)
-BENCH_DTYPE=bfloat16 PRTP_GNN_BATCHED=1 run 600 bash -c 'python bench.py --point headline > /tmp/pt_head_bat.json'
-keep head_r5_batched /tmp/pt_head_bat.json
+# (step 2b, the PRTP_GNN_BATCHED A/B, is retired: the lever was
+#  measured at parity and DELETED per the promote-or-delete rule —
+#  commit 98e5efa — so the env var no longer selects anything and the
+#  run would just re-measure the default config under a "batched" name)
 # 3. merged K=8 — the utilization figure (honest clocks, r5 gate)
 BENCH_DTYPE=bfloat16 run 600 bash -c 'python bench.py --point merged > /tmp/pt_merged.json'
 keep merged_r5 /tmp/pt_merged.json

@@ -33,9 +33,11 @@ while true; do
         if [ ! -f $SESSION_DONE ]; then
             bash scripts/tpu_session.sh
             # gate completion on evidence: the driver-form artifact must
-            # exist AND parse (a session that ran into a dead tunnel
-            # mid-way retries at the next window)
-            if [ -s $SESSION_EVIDENCE ] && valid_json $SESSION_EVIDENCE; then
+            # exist, parse, AND carry a real headline — a dead-tunnel
+            # session emits a well-formed {"value": null, ...} line with
+            # rc 0, which must NOT count as done (retry next window)
+            if [ -s $SESSION_EVIDENCE ] && valid_json $SESSION_EVIDENCE \
+                    && ! grep -q '"value": null' $SESSION_EVIDENCE; then
                 touch $SESSION_DONE
                 cp $SESSION_EVIDENCE \
                    results/tpu_runs/bench_r5_session_$(date +%m%d_%H%M%S).json

@@ -48,6 +48,7 @@ def test_next_val_trigger_edges():
     assert next_val_trigger(1, 100, 50) == 50
     assert next_val_trigger(51, 100, 50) == 99   # design end
     assert next_val_trigger(99, 100, 50) == 99
+    assert next_val_trigger(0, 1, 50) == 0       # single-batch design
 
 
 def _walk_dispatch(num_batch, spd, vi, max_steps=None):
@@ -107,4 +108,3 @@ def test_val_cadence_max_steps_cap(spd, vi, max_steps):
         ref = [b for b in range(expect)
                if b % vi == 0 or b == num_batch - 1]
         assert validated == ref, (num_batch, spd, vi, max_steps)
-    assert next_val_trigger(0, 1, 50) == 0
