@@ -1,0 +1,28 @@
+#!/bin/bash
+# Retry wrapper for tpu_extras_150k.sh: probe the tunnel (under the
+# one-client lock), run the extras body in healthy windows, and exit
+# once BOTH 150k artifacts (exact + grouped) have landed. Bounded.
+cd /root/repo
+W=/tmp/extras150_watch.log
+DEADLINE=$(( $(date +%s) + ${EXTRAS_BUDGET_S:-10800} ))
+echo "extras watch start $(date +%m%d_%H:%M:%S)" >> $W
+
+landed() { ls results/tpu_runs/big150_r5_"$1"_*.json >/dev/null 2>&1; }
+
+while [ "$(date +%s)" -lt "$DEADLINE" ]; do
+    if landed exact && landed grouped; then
+        echo "both 150k artifacts landed $(date +%m%d_%H:%M:%S)" >> $W
+        exit 0
+    fi
+    if flock /tmp/prtp_tpu.lock timeout 150 \
+            python bench.py --point probe > /tmp/probe150.json 2>>$W \
+            && grep -q '"ok": true' /tmp/probe150.json; then
+        echo "probe OK -> extras $(date +%m%d_%H:%M:%S)" >> $W
+        bash scripts/tpu_extras_150k.sh
+    else
+        echo "probe dead $(date +%m%d_%H:%M:%S)" >> $W
+    fi
+    sleep 200
+done
+echo "extras watch deadline $(date +%m%d_%H:%M:%S)" >> $W
+exit 1

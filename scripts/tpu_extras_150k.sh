@@ -14,13 +14,19 @@ keep() {
     fi
 }
 
-# land the exact compile in the persistent cache first (retryable)
-run timeout 900 python scripts/warm_cache.py --point big --attempts 2 --per_attempt 420
-# exact-levels bench at 150k (short cap: the executable is cache-warm)
-run timeout 420 bash -c 'python bench.py --point big > /tmp/pt_big150_exact.json'
-keep big150_r5_exact /tmp/pt_big150_exact.json
-# grouped A/B at the same size
-run env BENCH_BIG_PACKING=grouped timeout 600 bash -c 'python bench.py --point big > /tmp/pt_big150_grouped.json'
-keep big150_r5_grouped /tmp/pt_big150_grouped.json
+landed() { ls results/tpu_runs/big150_r5_"$1"_*.json >/dev/null 2>&1; }
+
+if ! landed exact; then
+    # land the exact compile in the persistent cache first (retryable)
+    run timeout 900 python scripts/warm_cache.py --point big --attempts 2 --per_attempt 420
+    # exact-levels bench at 150k (short cap: the executable is cache-warm)
+    run timeout 420 bash -c 'python bench.py --point big > /tmp/pt_big150_exact.json'
+    keep big150_r5_exact /tmp/pt_big150_exact.json
+fi
+if ! landed grouped; then
+    # grouped A/B at the same size
+    run env BENCH_BIG_PACKING=grouped timeout 600 bash -c 'python bench.py --point big > /tmp/pt_big150_grouped.json'
+    keep big150_r5_grouped /tmp/pt_big150_grouped.json
+fi
 python scripts/runs_readme.py >> $L 2>&1
 echo "=== extras done $(date +%m%d_%H:%M:%S)" >> $L
