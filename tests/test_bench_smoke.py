@@ -117,6 +117,31 @@ def test_integrity_gate_rejects_impossible_and_unstable_points():
     assert reason is None and val == 10.1
 
 
+def test_gate_peak_is_dtype_correct(monkeypatch):
+    """The impossibility gate must use the roofline of the dtype the
+    point actually ran: f32 matmuls top out at ~1/2 the bf16 MXU rate,
+    so gating an f32 point against the bf16 peak would let a 2x-broken
+    clock through."""
+    sys.path.insert(0, REPO)
+    import bench
+
+    monkeypatch.setenv("BENCH_DTYPE", "float32")
+    assert bench._gate_peak(197.0) == 197.0 / 2
+    monkeypatch.setenv("BENCH_DTYPE", "bfloat16")
+    assert bench._gate_peak(197.0) == 197.0
+    monkeypatch.delenv("BENCH_DTYPE")
+    assert bench._gate_peak(197.0) == 197.0 / 2  # default dtype is f32
+    assert bench._gate_peak(None) is None
+
+    # an f32 measurement that is possible vs the bf16 peak but
+    # impossible vs the f32 roofline must be rejected
+    monkeypatch.setenv("BENCH_DTYPE", "float32")
+    peak = bench._gate_peak(197.0)
+    val, reason = bench.gate_point([15.0, 15.0, 15.0], trials=3,
+                                   flops_per_step=1e13, peak_tflops=peak)
+    assert val is None and "MFU" in reason
+
+
 def test_timed_trials_raises_on_nonfinite_loss():
     """An aborted/NaN dispatch must raise, never return a timing."""
     import numpy as np
