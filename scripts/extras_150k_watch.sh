@@ -7,11 +7,18 @@ W=/tmp/extras150_watch.log
 DEADLINE=$(( $(date +%s) + ${EXTRAS_BUDGET_S:-10800} ))
 echo "extras watch start $(date +%m%d_%H:%M:%S)" >> $W
 
-landed() { ls results/tpu_runs/big150_r5_"$1"_*.json >/dev/null 2>&1; }
+landed() { ls results/tpu_runs/"$1"_*.json >/dev/null 2>&1; }
+done_enough() {
+    landed big150_r5_grouped || return 1
+    landed big150_r5_exact && return 0
+    # after 3 failed exact tries the 80k grouped headline A/B stands in
+    [ "$(cat /tmp/extras150_exact_tries 2>/dev/null || echo 0)" -ge 3 ] \
+        && landed head_r5_grouped80k
+}
 
 while [ "$(date +%s)" -lt "$DEADLINE" ]; do
-    if landed exact && landed grouped; then
-        echo "both 150k artifacts landed $(date +%m%d_%H:%M:%S)" >> $W
+    if done_enough; then
+        echo "extras evidence landed $(date +%m%d_%H:%M:%S)" >> $W
         exit 0
     fi
     if flock /tmp/prtp_tpu.lock timeout 150 \

@@ -14,19 +14,31 @@ keep() {
     fi
 }
 
-landed() { ls results/tpu_runs/big150_r5_"$1"_*.json >/dev/null 2>&1; }
+landed() { ls results/tpu_runs/"$1"_*.json >/dev/null 2>&1; }
+TRIES=/tmp/extras150_exact_tries
+ntries() { cat $TRIES 2>/dev/null || echo 0; }
 
-if ! landed exact; then
+if ! landed big150_r5_exact && [ "$(ntries)" -lt 3 ]; then
+    echo $(( $(ntries) + 1 )) > $TRIES
     # land the exact compile in the persistent cache first (retryable)
     run timeout 900 python scripts/warm_cache.py --point big --attempts 2 --per_attempt 420
     # exact-levels bench at 150k (short cap: the executable is cache-warm)
     run timeout 420 bash -c 'python bench.py --point big > /tmp/pt_big150_exact.json'
     keep big150_r5_exact /tmp/pt_big150_exact.json
 fi
-if ! landed grouped; then
+if ! landed big150_r5_grouped; then
     # grouped A/B at the same size
     run env BENCH_BIG_PACKING=grouped timeout 600 bash -c 'python bench.py --point big > /tmp/pt_big150_grouped.json'
     keep big150_r5_grouped /tmp/pt_big150_grouped.json
+fi
+if ! landed big150_r5_exact && [ "$(ntries)" -ge 3 ] \
+        && ! landed head_r5_grouped80k; then
+    # the 150k exact DISPATCH won't survive this tunnel either: take the
+    # exact-vs-grouped ratio at the largest size that dispatches both —
+    # the 80k headline (exact numbers abound; this lands the grouped
+    # bf16 A/B at identical shapes)
+    run env BENCH_HEADLINE_PACKING=grouped timeout 600 bash -c 'python bench.py --point headline > /tmp/pt_head80_grouped.json'
+    keep head_r5_grouped80k /tmp/pt_head80_grouped.json
 fi
 python scripts/runs_readme.py >> $L 2>&1
 echo "=== extras done $(date +%m%d_%H:%M:%S)" >> $L
