@@ -26,6 +26,45 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+# ------------------------------------------- one-TPU-client-at-a-time
+#
+# Two concurrent PJRT clients on this tunnel-backed chip crash the TPU
+# worker ("kernel fault"); every in-repo TPU touch serializes on this
+# flock (scripts/tunnel_watcher.sh et al.). bench.py takes the same
+# lock itself so an EXTERNAL invocation (the end-of-round driver run)
+# cannot collide with a watcher's in-flight refresh. The lock is
+# env-marked reentrant: a parent that already holds it (a watcher
+# script, or bench's own point-subprocess parent) sets
+# PRTP_TPU_LOCK_HELD=1 and nested invocations skip re-acquiring —
+# flock is per-open-file-description, so a blind re-acquire would
+# deadlock against our own parent.
+
+TPU_LOCK_PATH = "/tmp/prtp_tpu.lock"
+
+
+def _acquire_tpu_lock():
+    if os.environ.get("PRTP_TPU_LOCK_HELD") == "1":
+        return None
+    # a CPU-forced run (tests, smoke) opens no TPU client: nothing to
+    # serialize, and blocking a CPU test behind a 20-minute TPU refresh
+    # would be pure harm
+    if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+        return None
+    import fcntl
+    f = open(os.environ.get("PRTP_TPU_LOCK", TPU_LOCK_PATH), "w")
+    try:
+        fcntl.flock(f, fcntl.LOCK_EX | fcntl.LOCK_NB)
+    except OSError:
+        log("waiting for the TPU client lock "
+            f"({TPU_LOCK_PATH}; another client is mid-run)...")
+        t0 = time.time()
+        fcntl.flock(f, fcntl.LOCK_EX)
+        log(f"TPU client lock acquired after {time.time() - t0:.0f}s")
+    # children (point subprocesses) inherit the held-marker, not the fd
+    os.environ["PRTP_TPU_LOCK_HELD"] = "1"
+    return f  # keep the fd alive for the process lifetime
+
+
 # --------------------------------------------- measurement integrity
 #
 # VERDICT r4: the merged point published MFU 235-348% because its timed
@@ -700,8 +739,16 @@ def _run_point(point, timeout, extra_env=None):
 
 def main():
     if len(sys.argv) >= 3 and sys.argv[1] == "--point":
+        _lock = _acquire_tpu_lock()  # noqa: F841 — held till process exit
         _child_point(sys.argv[2])
         return
+
+    # serialize against any in-flight watcher/session TPU client, then
+    # start the budget clock AFTER the wait — time spent queueing for
+    # the chip must not eat the measurement budget
+    _lock = _acquire_tpu_lock()  # noqa: F841 — held till process exit
+    global T_START
+    T_START = time.time()
 
     budget = _env("TIME_BUDGET", 1500)
 

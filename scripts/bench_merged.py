@@ -53,6 +53,9 @@ def _measure(step, state, design, ids, mask, trials=3):
 
 
 def main():
+    import bench
+    _lock = bench._acquire_tpu_lock()  # noqa: F841 — one TPU client
+
     import jax
     from prtp_tpu.utils.cache import enable_compile_cache
     enable_compile_cache()

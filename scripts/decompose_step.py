@@ -127,6 +127,9 @@ def main():
     ap.add_argument("--no_write", action="store_true")
     args = ap.parse_args()
 
+    import bench
+    _lock = bench._acquire_tpu_lock()  # noqa: F841 — one TPU client
+
     from prtp_tpu.utils.cache import enable_compile_cache
     enable_compile_cache()
     import jax

@@ -21,7 +21,7 @@ while [ "$(date +%s)" -lt "$DEADLINE" ]; do
         echo "extras evidence landed $(date +%m%d_%H:%M:%S)" >> $W
         exit 0
     fi
-    if flock /tmp/prtp_tpu.lock timeout 150 \
+    if PRTP_TPU_LOCK_HELD=1 flock /tmp/prtp_tpu.lock timeout 150 \
             python bench.py --point probe > /tmp/probe150.json 2>>$W \
             && grep -q '"ok": true' /tmp/probe150.json; then
         echo "probe OK -> extras $(date +%m%d_%H:%M:%S)" >> $W

@@ -6,7 +6,7 @@
 # touch queues on the one-client lock behind the watcher's refreshes.
 cd /root/repo
 L=/tmp/tpu_extras_150k.log
-E="BENCH_DTYPE=bfloat16 BENCH_BIG_NODES=150000 BENCH_BIG_LEVELS=26"
+E="BENCH_DTYPE=bfloat16 BENCH_BIG_NODES=150000 BENCH_BIG_LEVELS=26 PRTP_TPU_LOCK_HELD=1"
 run() { echo "=== $(date +%m%d_%H:%M:%S) $*" >> $L; flock /tmp/prtp_tpu.lock env $E "$@" >> $L 2>&1; echo "rc=$?" >> $L; }
 keep() {
     if [ -s "$2" ] && python -c 'import json,sys; json.load(open(sys.argv[1]))' "$2" 2>/dev/null; then

@@ -6,7 +6,7 @@
 cd /root/repo
 L=/tmp/tpu_session.log
 # every TPU touch holds the one-client lock (see tunnel_watcher.sh)
-run() { echo "=== $(date +%m%d_%H:%M:%S) $*" >> $L; flock /tmp/prtp_tpu.lock timeout "$@" >> $L 2>&1; echo "rc=$?" >> $L; }
+run() { echo "=== $(date +%m%d_%H:%M:%S) $*" >> $L; flock /tmp/prtp_tpu.lock env PRTP_TPU_LOCK_HELD=1 timeout "$@" >> $L 2>&1; echo "rc=$?" >> $L; }
 keep() {  # keep <name> <file>: preserve a child-point JSON artifact
     if [ -s "$2" ] && python -c 'import json,sys; json.load(open(sys.argv[1]))' "$2" 2>/dev/null; then
         cp "$2" results/tpu_runs/"$1"_$(date +%m%d_%H%M%S).json

@@ -16,7 +16,10 @@ TPU_LOCK=/tmp/prtp_tpu.lock
 echo "watcher start $(date +%m%d_%H:%M:%S)" >> $W
 
 probe() {
-    flock $TPU_LOCK timeout 150 \
+    # PRTP_TPU_LOCK_HELD: bench.py itself acquires this flock unless
+    # told a parent already holds it (deadlock otherwise — flock is
+    # per-open-file-description)
+    PRTP_TPU_LOCK_HELD=1 flock $TPU_LOCK timeout 150 \
         python bench.py --point probe > /tmp/probe_out.json 2>>$W
     local rc=$?
     tail -c 300 /tmp/probe_out.json >> $W
@@ -53,7 +56,7 @@ while true; do
             TS=$(date +%m%d_%H%M%S)
             OUT=results/tpu_runs/bench_r5_refresh_$TS.json
             BENCH_DTYPE=bfloat16 BENCH_TIME_BUDGET=1200 \
-                flock $TPU_LOCK timeout 1300 \
+                PRTP_TPU_LOCK_HELD=1 flock $TPU_LOCK timeout 1300 \
                 python bench.py > $OUT 2>>$W
             echo "refresh rc=$? $(date +%m%d_%H:%M:%S)" >> $W
             # keep only intact, non-null artifacts: a timeout-killed run

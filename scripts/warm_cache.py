@@ -42,6 +42,7 @@ def _attempt(point, packing):
     import bench
     import jax
 
+    _lock = bench._acquire_tpu_lock()  # noqa: F841 — one TPU client
     if point == "merged":
         design, state, step, ids, mask = bench.build_merged_step(
             packing=packing)

@@ -32,6 +32,9 @@ def _clean_env():
     env["JAX_PLATFORMS"] = "cpu"
     # drop the TPU-plugin site dir so the env var alone wins in children
     env["PYTHONPATH"] = REPO
+    # never contend for the machine-wide TPU client lock from a test
+    # (a live watcher can hold it for a 20-minute refresh)
+    env["PRTP_TPU_LOCK"] = "/tmp/prtp_tpu_test.lock"
     return env
 
 
@@ -86,6 +89,31 @@ def test_bench_probe_gate_nulls_round_without_burning_points():
     assert result["detail"]["tunnel_probe"]["attempts"] >= 1
     # the gate held: no expensive point was ever attempted
     assert b"--- headline point" not in proc.stderr
+
+
+def test_tpu_lock_is_env_reentrant_and_cpu_skipped(monkeypatch, tmp_path):
+    """bench.py serializes TPU clients on a machine-wide flock (two
+    concurrent clients crash the tunnel's worker). The lock must be
+    env-marked reentrant (a watcher holding the flock spawns bench
+    children — a blind re-acquire would deadlock) and skipped entirely
+    for CPU-forced runs."""
+    sys.path.insert(0, REPO)
+    import bench
+
+    monkeypatch.setenv("PRTP_TPU_LOCK", str(tmp_path / "lock"))
+    monkeypatch.delenv("JAX_PLATFORMS", raising=False)
+    monkeypatch.delenv("PRTP_TPU_LOCK_HELD", raising=False)
+    f = bench._acquire_tpu_lock()
+    try:
+        assert f is not None
+        assert os.environ["PRTP_TPU_LOCK_HELD"] == "1"
+        # the held marker short-circuits nested acquires (no deadlock)
+        assert bench._acquire_tpu_lock() is None
+    finally:
+        f.close()
+    monkeypatch.delenv("PRTP_TPU_LOCK_HELD")
+    monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+    assert bench._acquire_tpu_lock() is None
 
 
 def test_integrity_gate_rejects_impossible_and_unstable_points():
