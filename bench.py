@@ -639,6 +639,7 @@ def _child_point(point):
         sps, _, _, _, _, trials, reject = bench_tpu(
             parsed, inference=False, trials=2, packing=packing)
         out.update(big_sps=sps, packing=packing,
+                   scan_groups=SCAN_GROUPS if packing == "grouped" else None,
                    sps_trials=[round(s, 3) for s in trials],
                    rejected=reject,
                    nodes=int(parsed["num_nodes"]),
