@@ -17,9 +17,9 @@ keep() {
 
 for N in 0 12; do
     OUT=/tmp/pt_big300_g$N.json
-    run env SCAN_GROUPS=$N timeout 900 python scripts/warm_cache.py \
+    run env BENCH_SCAN_GROUPS=$N timeout 900 python scripts/warm_cache.py \
         --point big --packing grouped --attempts 2 --per_attempt 420
-    run env SCAN_GROUPS=$N BENCH_BIG_PACKING=grouped timeout 420 \
+    run env BENCH_SCAN_GROUPS=$N BENCH_BIG_PACKING=grouped timeout 420 \
         bash -c "python bench.py --point big > $OUT"
     keep big300_r5_groups$N $OUT
 done
